@@ -1,0 +1,141 @@
+"""Single dataclass-based configuration for the whole framework.
+
+The reference scatters constants across five argparse entry points and
+hard-coded literals (reference ``model/train.py:137-165``, ``model/inference.py:11``,
+``api/app.py:33-40``). Here every knob lives in one typed config tree with CLI
+overrides layered on top (``cli.py``); the reference's CLI flag names remain
+the compatibility surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """U-Net architecture knobs.
+
+    Defaults reproduce the reference's deployed configuration
+    (``model/unet.py:97-112`` instantiated with ``bilinear=True`` at
+    ``model/train.py:299`` / ``model/inference.py:77``): 2 grayscale input
+    channels, 1 output channel, widths 64..1024 with a factor-2 decoder,
+    17,262,401 parameters.
+
+    ``in_frames * channels`` is the actual input channel count: the model
+    consumes ``in_frames`` frames concatenated on the channel axis.
+    RGB mode (the README-advertised 6-in/3-out variant, reference
+    ``README.md:180-182``) is ``channels=3``.
+    """
+
+    channels: int = 1           # channels per frame: 1 = grayscale parity, 3 = RGB
+    in_frames: int = 2          # frames concatenated on the channel axis
+    base_width: int = 64        # width of the first encoder stage
+    depth: int = 4              # number of down/up levels (64 -> 64*2^depth)
+    bilinear: bool = True       # bilinear decoder (True) vs transposed conv (False)
+    time_conditioned: bool = False  # append a constant-t channel => arbitrary-time interpolation
+
+    @property
+    def in_channels(self) -> int:
+        return self.in_frames * self.channels + (1 if self.time_conditioned else 0)
+
+    @property
+    def out_channels(self) -> int:
+        return self.channels
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Combined loss = mse_weight * MSE + ssim_weight * (1 - SSIM).
+
+    Matches reference ``model/train.py:75-87`` (0.5/0.5) and its SSIM loss
+    (11x11 Gaussian, sigma 1.5, ``model/train.py:18-73``).
+    """
+
+    mse_weight: float = 0.5
+    ssim_weight: float = 0.5
+    ssim_window: int = 11
+    ssim_sigma: float = 1.5
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyper-parameters (reference ``model/train.py:153-316``)."""
+
+    epochs: int = 100
+    batch_size: int = 8          # per-step GLOBAL batch (sharded over the mesh)
+    learning_rate: float = 1e-4  # reference hardcodes 1e-4 at train.py:160
+    val_split: float = 0.2
+    plateau_factor: float = 0.5   # ReduceLROnPlateau(factor=0.5, patience=10), train.py:163-165
+    plateau_patience: int = 10
+    seed: int = 0
+    loss: LossConfig = field(default_factory=LossConfig)
+    checkpoint_dir: str = "checkpoints"
+    resume: bool = False          # true mid-training resume (reference never reloads optimizer state)
+    log_every: int = 10
+    nan_guard: bool = True        # per-step NaN detection
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Triplet dataset layout (reference ``model/train.py:89-151``)."""
+
+    data_dir: str = "data/train"
+    height: int = 256
+    width: int = 256
+    prefetch: int = 2            # device prefetch depth
+    num_workers: int = 4         # host decode threads
+    shuffle_buffer: int = 2048
+
+
+@dataclass(frozen=True)
+class VideoConfig:
+    """Streaming video interpolation pipeline (implements what reference
+    ``main.py:118-129`` only advertises)."""
+
+    factor: int = 2              # 2x or 4x (recursive midpoint bisection)
+    batch_pairs: int = 8         # frame pairs per device batch
+    fps: Optional[float] = None  # None = scale source fps by factor
+    codec: str = "mp4v"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for SPMD execution.
+
+    The reference is strictly single-device (SURVEY.md §2.3). Here the batch
+    axis is sharded over a 1-D ``data`` mesh axis; gradients are combined by
+    XLA-inserted collectives over ICI. ``data_axis=-1`` means "all devices".
+    """
+
+    data_axis: int = -1          # -1 => use every visible device for data parallelism
+    axis_name: str = "data"
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """HTTP serving (reference ``api/app.py``: POST /interpolate, GET /, /health)."""
+
+    host: str = "0.0.0.0"
+    port: int = 8000
+    model_path: str = "checkpoints"
+    max_upload_bytes: int = 50 * 1024 * 1024   # 50 MB cap, api/app.py:36
+    max_intermediate: int = 10                 # 1..10, api/app.py:140-141
+    request_timeout_s: float = 300.0           # api/app.py:100
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    video: VideoConfig = field(default_factory=VideoConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+
+
+def replace(cfg, **kwargs):
+    """Functional update helper (frozen dataclasses)."""
+    return dataclasses.replace(cfg, **kwargs)

@@ -1,0 +1,202 @@
+"""TPU-native Flax U-Net for frame interpolation.
+
+Re-implements the capability of the reference architecture (reference
+``model/unet.py:5-112``: DoubleConv/Down/Up/OutConv blocks, 4-level
+encoder-decoder, widths 64..1024 with a factor-2 decoder when bilinear,
+pad-and-concat skips, 1x1 output conv) as an idiomatic JAX/Flax module:
+
+- **NHWC** activations (TPU conv layout) instead of NCHW.
+- **bf16 compute / f32 params** mixed precision: convolutions run in
+  ``compute_dtype``; BatchNorm statistics and the loss accumulate in f32.
+- Bilinear ``align_corners=True`` decoder upsampling as constant-matrix
+  contractions on the MXU (``ops/resize.py``) — exact PyTorch parity.
+- Under ``jit`` over a sharded batch, BatchNorm's batch-mean/var reductions
+  are global automatically (XLA inserts the cross-device collectives), which
+  is the TPU-native equivalent of SyncBatchNorm.
+
+Parity facts (asserted in ``tests/test_model.py``): default config
+(2 gray frames in, 1 out, ``bilinear=True``) has exactly **17,262,401**
+trainable parameters, matching the reference's deployed model; the
+``bilinear=False`` variant has 31,037,057.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.resize import upsample2x_align_corners
+
+Dtype = Any
+
+
+class DoubleConv(nn.Module):
+    """(3x3 conv, no bias -> BatchNorm -> ReLU) x 2.
+
+    Capability of reference ``model/unet.py:5-21``.
+    """
+
+    out_ch: int
+    mid_ch: Optional[int] = None
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = self.mid_ch if self.mid_ch is not None else self.out_ch
+        for i, ch in enumerate((mid, self.out_ch)):
+            x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.compute_dtype, name=f"conv{i + 1}")(x)
+            # BN statistics in f32 for stability; torch defaults eps=1e-5,
+            # momentum 0.1 (flax convention: momentum = 1 - torch_momentum).
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name=f"bn{i + 1}")(x)
+            x = nn.relu(x).astype(self.compute_dtype)
+        return x
+
+
+class Down(nn.Module):
+    """2x2 max-pool then DoubleConv (reference ``model/unet.py:23-33``)."""
+
+    out_ch: int
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.out_ch, compute_dtype=self.compute_dtype,
+                          name="conv")(x, train)
+
+
+class Up(nn.Module):
+    """Upsample, pad to the skip's spatial dims, concat, DoubleConv.
+
+    Capability of reference ``model/unet.py:35-55``: bilinear
+    ``align_corners=True`` x2 (or 2x2 stride-2 transposed conv), symmetric
+    pad of the upsampled map to match the skip, channel concat, then
+    DoubleConv with ``mid = in_ch // 2`` in the bilinear variant.
+    """
+
+    out_ch: int
+    bilinear: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x1.shape[-1] + x2.shape[-1]  # channels after concat
+        if self.bilinear:
+            x1 = upsample2x_align_corners(x1)
+            mid = in_ch // 2
+        else:
+            x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
+                                  dtype=self.compute_dtype, name="up")(x1)
+            in_ch = x1.shape[-1] + x2.shape[-1]
+            mid = None
+        # Pad the upsampled map to the skip's H/W (NHWC): floor on the
+        # leading side, remainder trailing — same split as the reference.
+        dh = x2.shape[-3] - x1.shape[-3]
+        dw = x2.shape[-2] - x1.shape[-2]
+        if dh or dw:
+            pad = [(0, 0)] * (x1.ndim - 3) + [
+                (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)]
+            x1 = jnp.pad(x1, pad)
+        x = jnp.concatenate([x2, x1.astype(x2.dtype)], axis=-1)
+        return DoubleConv(self.out_ch, mid_ch=mid,
+                          compute_dtype=self.compute_dtype, name="conv")(x, train)
+
+
+class UNet(nn.Module):
+    """Encoder-decoder U-Net (reference ``model/unet.py:65-95``).
+
+    ``widths[i] = base_width * 2**i``; the bottleneck and decoder widths are
+    halved when ``bilinear`` (the reference's ``factor = 2``).
+    """
+
+    in_channels: int = 2
+    out_channels: int = 1
+    base_width: int = 64
+    depth: int = 4
+    bilinear: bool = True
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        w = self.base_width
+        factor = 2 if self.bilinear else 1
+        cdt = self.compute_dtype
+        x = x.astype(cdt)
+
+        skips = [DoubleConv(w, compute_dtype=cdt, name="inc")(x, train)]
+        for i in range(1, self.depth + 1):
+            ch = w * (2 ** i)
+            if i == self.depth:
+                ch //= factor
+            skips.append(Down(ch, compute_dtype=cdt, name=f"down{i}")(skips[-1], train))
+
+        y = skips[-1]
+        for i in range(1, self.depth + 1):
+            ch = w * (2 ** (self.depth - i))
+            if i < self.depth:
+                ch //= factor
+            # up1 pairs the bottleneck with skip[depth-1], etc.
+            y = Up(ch, bilinear=self.bilinear, compute_dtype=cdt,
+                   name=f"up{i}")(y, skips[self.depth - i], train)
+
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                    dtype=jnp.float32, name="outc")(y.astype(jnp.float32))
+        return y
+
+
+class FrameInterpolationUNet(nn.Module):
+    """Frames-in, midpoint-frame-out wrapper (reference ``model/unet.py:97-112``).
+
+    Consumes ``cfg.in_frames`` frames concatenated on the channel axis
+    (NHWC). With ``cfg.time_conditioned`` a constant-``t`` plane is appended,
+    enabling arbitrary-time interpolation — a capability superset over the
+    reference, whose multi-frame mode degenerately repeats the midpoint
+    (reference ``model/inference.py:124-149``).
+    """
+
+    cfg: ModelConfig = ModelConfig()
+    compute_dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, frame1: jax.Array, frame2: jax.Array,
+                 t: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+        x = jnp.concatenate([frame1, frame2], axis=-1)
+        if self.cfg.time_conditioned:
+            if t is None:
+                t = jnp.full((x.shape[0],), 0.5, x.dtype)
+            tmap = jnp.broadcast_to(t[:, None, None, None],
+                                    (*x.shape[:-1], 1)).astype(x.dtype)
+            x = jnp.concatenate([x, tmap], axis=-1)
+        return UNet(in_channels=self.cfg.in_channels,
+                    out_channels=self.cfg.out_channels,
+                    base_width=self.cfg.base_width,
+                    depth=self.cfg.depth,
+                    bilinear=self.cfg.bilinear,
+                    compute_dtype=self.compute_dtype,
+                    name="unet")(x, train)
+
+
+def init_variables(model: FrameInterpolationUNet, rng: jax.Array,
+                   height: int = 256, width: int = 256, batch: int = 1):
+    """Initialize {params, batch_stats} for the model.
+
+    The init is jitted: eager (op-by-op) initialization triggers one XLA
+    compile per primitive (~40 convs) which is pathologically slow on CPU
+    hosts; a single fused compile is seconds instead of minutes.
+    """
+    c = model.cfg.channels
+    f1 = jnp.zeros((batch, height, width, c), jnp.float32)
+    return jax.jit(lambda a, b: model.init(rng, a, b, train=False))(f1, f1)
+
+
+def count_parameters(variables) -> int:
+    """Trainable parameter count (reference ``model/unet.py:114-116``)."""
+    params = variables["params"] if "params" in variables else variables
+    return sum(int(x.size) for x in jax.tree.leaves(params))
