@@ -1,0 +1,1 @@
+from . import loader, synthetic, triplets, video  # noqa: F401

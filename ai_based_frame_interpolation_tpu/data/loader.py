@@ -1,0 +1,118 @@
+"""Host input pipeline: threaded decode -> batched uint8 -> sharded device put.
+
+TPU-native replacement for the reference's ``DataLoader(num_workers=4,
+pin_memory=True)`` (``model/train.py:282-296``):
+
+- decode/resize runs in a thread pool (cv2 releases the GIL in imread/resize);
+- batches ship to device as **uint8** (4x less host->device traffic than f32;
+  normalization fuses into the first conv on device, see ``ops/image.py``);
+- each batch is placed with a ``NamedSharding`` splitting the batch axis
+  across the mesh — one global array, XLA handles the rest;
+- a background prefetch queue keeps ``prefetch`` batches in flight so the
+  device never waits on the host (the v5e equivalent of pin_memory+async H2D).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import batch_sharding
+from .triplets import Triplet, load_triplet_arrays
+
+
+class TripletLoader:
+    """Iterable over epochs of batched triplet arrays.
+
+    Yields dicts ``{"f0": [B,H,W,C] u8, "f1": ..., "gt": ...}`` — numpy by
+    default, or globally-sharded ``jax.Array``s when a mesh is given.
+    """
+
+    def __init__(self, triplets: Sequence[Triplet], batch_size: int,
+                 height: int = 256, width: int = 256, grayscale: bool = True,
+                 shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
+                 num_workers: int = 4, mesh=None, prefetch: int = 2):
+        if not triplets:
+            raise ValueError("no triplets to load")
+        self.triplets = list(triplets)
+        self.batch_size = batch_size
+        self.height, self.width = height, width
+        self.grayscale = grayscale
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self.mesh = mesh
+        self.prefetch = prefetch
+        self._sharding = batch_sharding(mesh) if mesh is not None else None
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.triplets)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        if not self.shuffle:
+            return np.arange(len(self.triplets))
+        rng = np.random.default_rng(self.seed + self._epoch)
+        return rng.permutation(len(self.triplets))
+
+    def _load_batch(self, idxs: np.ndarray) -> dict:
+        f0s, f1s, gts = [], [], []
+        for i in idxs:
+            f0, f1, gt = load_triplet_arrays(
+                self.triplets[i], self.height, self.width, self.grayscale)
+            f0s.append(f0); f1s.append(f1); gts.append(gt)
+        batch = {"f0": np.stack(f0s), "f1": np.stack(f1s), "gt": np.stack(gts)}
+        if self._sharding is not None:
+            batch = {k: jax.device_put(v, self._sharding)
+                     for k, v in batch.items()}
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        self._epoch += 1
+        nfull = len(order) // self.batch_size
+        chunks = [order[b * self.batch_size:(b + 1) * self.batch_size]
+                  for b in range(nfull)]
+        if not self.drop_remainder and len(order) % self.batch_size:
+            chunks.append(order[nfull * self.batch_size:])
+
+        q: "queue.Queue" = queue.Queue(self.prefetch)
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                from collections import deque
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    # bounded in-flight decode: q.put blocks when the consumer
+                    # lags, so at most prefetch+inflight batches exist at once
+                    pending = deque()
+                    max_inflight = max(self.prefetch, self.num_workers)
+                    for c in chunks:
+                        pending.append(pool.submit(self._load_batch, c))
+                        if len(pending) >= max_inflight:
+                            q.put(pending.popleft().result())
+                    while pending:
+                        q.put(pending.popleft().result())
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,251 @@
+"""Warm, jitted inference engine with device-resident recursive interpolation.
+
+Replaces the reference's inference stack (``model/inference.py:65-202``) and
+*implements* what it only advertises:
+
+- the reference reloads the checkpoint per call / per HTTP request via a
+  subprocess (``api/app.py:65-119``) — here the engine loads once and serves
+  warm, compiled functions;
+- the reference's "multiple intermediate frames" produces N copies of the
+  same midpoint (``model/inference.py:124-149``) — here intermediates come
+  from true **recursive midpoint bisection** (2x/4x/8x...), all frames
+  device-resident between levels;
+- the advertised-but-missing video interpolation (``main.py:118-129`` imports
+  a nonexistent class) exists for real: streaming decode -> batched pairs ->
+  device compute -> streaming encode, with the encode thread overlapped.
+
+TPU-first details: frames cross PCIe as uint8 (4x less traffic), normalize
+fuses into the first conv under jit, shapes are static per (batch, H, W)
+signature with pad-to-16 once, compute in bf16 on the MXU, output rounds to
+uint8 on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.unet import FrameInterpolationUNet
+from ..ops.image import denormalize_to_uint8, normalize_uint8
+from ..ops.resize import crop_to, pad_to_multiple
+
+
+def _bisect(fwd, variables, x1, x2, depth: int) -> List[jax.Array]:
+    """All 2**depth - 1 intermediates between x1 and x2, in time order.
+
+    Unrolled at trace time (depth is static and small), so XLA sees one flat
+    graph of 2**depth - 1 forward passes and can schedule them freely.
+    """
+    if depth == 0:
+        return []
+    mid = fwd(variables, x1, x2)
+    return (_bisect(fwd, variables, x1, mid, depth - 1) + [mid] +
+            _bisect(fwd, variables, mid, x2, depth - 1))
+
+
+class InterpolationEngine:
+    """Load-once, compile-per-shape, serve-forever interpolation engine."""
+
+    def __init__(self, model: FrameInterpolationUNet, variables,
+                 compute_dtype=jnp.bfloat16):
+        self.model = model
+        self.cfg: ModelConfig = model.cfg
+        self.variables = variables
+        self.compute_dtype = compute_dtype
+        self._fwd = None  # built lazily (bound to compute dtype)
+
+    # -- factory -----------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None,
+                        compute_dtype=jnp.bfloat16) -> "InterpolationEngine":
+        """Load an Orbax variables dir, a training checkpoint dir, or a
+        reference-format ``.pth`` (auto-detected)."""
+        import os
+
+        if path.endswith(".pth") or path.endswith(".pt"):
+            from ..train.checkpoint import import_pth
+
+            variables = import_pth(path, cfg)
+            if cfg is None:
+                cfg = ModelConfig()  # .pth implies the reference's config
+        else:
+            from ..train.checkpoint import load_variables
+
+            if os.path.isdir(os.path.join(path, "variables")) or \
+                    os.path.exists(os.path.join(path, "model_config.json")):
+                variables, loaded_cfg = load_variables(path)
+                cfg = cfg or loaded_cfg or ModelConfig()
+            else:
+                raise FileNotFoundError(
+                    f"no checkpoint at {path} (expected .pth file or an "
+                    f"orbax dir with variables/)")
+        model = FrameInterpolationUNet(cfg=cfg or ModelConfig(),
+                                       compute_dtype=compute_dtype)
+        return cls(model, variables, compute_dtype)
+
+    @classmethod
+    def random_init(cls, cfg: Optional[ModelConfig] = None, seed: int = 0,
+                    compute_dtype=jnp.bfloat16) -> "InterpolationEngine":
+        """Engine with random weights (plumbing tests / demos)."""
+        cfg = cfg or ModelConfig()
+        model = FrameInterpolationUNet(cfg=cfg, compute_dtype=compute_dtype)
+        c = cfg.channels
+        f = jnp.zeros((1, 64, 64, c), jnp.float32)
+        variables = jax.jit(lambda a, b: model.init(
+            jax.random.key(seed), a, b, train=False))(f, f)
+        return cls(model, variables, compute_dtype)
+
+    # -- compiled kernels ---------------------------------------------------
+
+    def _forward(self, variables, x1, x2):
+        out = self.model.apply(variables, x1, x2, train=False)
+        return out.astype(self.compute_dtype)
+
+    @functools.lru_cache(maxsize=32)
+    def _pair_fn(self, n_out: int, depth: int):
+        """Jitted: uint8 pair batch -> uint8 [B, n_out, H, W, C] intermediates.
+
+        ``n_out`` of the 2**depth - 1 dyadic intermediates are selected at
+        evenly-spaced target times i/(n_out+1) — exact when n_out+1 is a
+        power of two (the 2x/4x/8x video paths), nearest-dyadic otherwise.
+        """
+        total = 2 ** depth - 1
+
+        def fn(variables, f1_u8, f2_u8):
+            x1, hw = pad_to_multiple(normalize_uint8(f1_u8, self.compute_dtype),
+                                     2 ** self.cfg.depth)
+            x2, _ = pad_to_multiple(normalize_uint8(f2_u8, self.compute_dtype),
+                                    2 ** self.cfg.depth)
+            mids = _bisect(self._forward, variables, x1, x2, depth)
+            if n_out == total:
+                picked = mids
+            else:
+                idx = [min(total - 1, round((i + 1) * (total + 1) /
+                                            (n_out + 1)) - 1)
+                       for i in range(n_out)]
+                picked = [mids[i] for i in idx]
+            out = jnp.stack([crop_to(m, hw) for m in picked], axis=1)
+            return denormalize_to_uint8(out)
+
+        return jax.jit(fn)
+
+    # -- public API ---------------------------------------------------------
+
+    def interpolate_pair(self, f1: np.ndarray, f2: np.ndarray) -> np.ndarray:
+        """Single midpoint between two HWC uint8 frames -> HWC uint8.
+
+        The warm replacement for reference ``interpolate_frames``
+        (``model/inference.py:101-122``)."""
+        return self.interpolate_batch(f1[None], f2[None])[0]
+
+    def interpolate_batch(self, f1: np.ndarray, f2: np.ndarray) -> np.ndarray:
+        """Batched midpoints: [B,H,W,C] u8 x2 -> [B,H,W,C] u8."""
+        out = self._pair_fn(1, 1)(self.variables, jnp.asarray(f1),
+                                  jnp.asarray(f2))
+        return np.asarray(out[:, 0])
+
+    def generate_intermediate_frames(self, f1: np.ndarray, f2: np.ndarray,
+                                     num: int) -> List[np.ndarray]:
+        """N in-between frames in time order (contract of reference
+        ``generate_multiple_intermediate_frames``, ``model/inference.py:124-149``
+        — but actually distinct frames via bisection)."""
+        if num < 1:
+            raise ValueError("num must be >= 1")
+        depth = max(1, math.ceil(math.log2(num + 1)))
+        out = self._pair_fn(num, depth)(self.variables, jnp.asarray(f1[None]),
+                                        jnp.asarray(f2[None]))
+        return [np.asarray(out[0, i]) for i in range(num)]
+
+    def interpolate_video_frames(
+            self, frames: Iterable[np.ndarray], factor: int = 2,
+            batch_pairs: int = 8) -> Iterator[np.ndarray]:
+        """Stream-interpolate a frame iterable to ``factor``x frame rate.
+
+        Yields output frames in order: f0, m0_1.., f1, m1_1.., ..., fN.
+        ``factor`` must be a power of two (2x/4x/8x); each consecutive pair
+        contributes ``factor - 1`` intermediates. Frame pairs are batched
+        ``batch_pairs`` at a time; the two jitted shapes ([batch_pairs] and
+        the remainder) are compiled once and reused for the whole stream.
+        """
+        if factor < 2 or (factor & (factor - 1)):
+            raise ValueError("factor must be a power of two >= 2")
+        depth = int(math.log2(factor))
+        fn = self._pair_fn(factor - 1, depth)
+
+        buf: List[np.ndarray] = []
+        prev: Optional[np.ndarray] = None
+
+        def flush(pairs: List[Tuple[np.ndarray, np.ndarray]]):
+            f1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+            f2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+            return np.asarray(fn(self.variables, f1, f2))
+
+        pending: List[Tuple[np.ndarray, np.ndarray]] = []
+        for frame in frames:
+            frame = np.asarray(frame)
+            if prev is not None:
+                pending.append((prev, frame))
+                if len(pending) == batch_pairs:
+                    mids = flush(pending)
+                    for i, (a, _) in enumerate(pending):
+                        yield a
+                        for k in range(factor - 1):
+                            yield mids[i, k]
+                    pending = []
+            prev = frame
+        if pending:
+            mids = flush(pending)
+            for i, (a, _) in enumerate(pending):
+                yield a
+                for k in range(factor - 1):
+                    yield mids[i, k]
+        if prev is not None:
+            yield prev
+
+    def interpolate_video_file(self, in_path: str, out_path: str,
+                               factor: int = 2, batch_pairs: int = 8,
+                               fps: Optional[float] = None,
+                               progress: bool = False) -> dict:
+        """Decode -> interpolate -> encode, all streaming. Returns stats.
+
+        This is the real implementation of the reference's advertised
+        ``main.py video`` command (``main.py:118-129``, broken there).
+        """
+        from ..data.video import AsyncVideoWriter, VideoReader
+
+        grayscale = self.cfg.channels == 1
+        reader = VideoReader(in_path, grayscale=grayscale)
+        out_fps = fps if fps is not None else reader.fps * factor
+        t0 = time.time()
+        n_out = 0
+        with AsyncVideoWriter(out_path, fps=out_fps) as writer:
+            for frame in self.interpolate_video_frames(
+                    iter(reader), factor=factor, batch_pairs=batch_pairs):
+                writer.write(frame)
+                n_out += 1
+        dt = time.time() - t0
+        return {"input_frames": reader.frame_count, "output_frames": n_out,
+                "output_fps": out_fps, "seconds": dt,
+                "frames_per_second": n_out / dt if dt > 0 else float("inf")}
+
+    # -- comparison baseline -------------------------------------------------
+
+    @staticmethod
+    def linear_transition_frames(f1: np.ndarray, f2: np.ndarray,
+                                 num: int) -> List[np.ndarray]:
+        """Alpha-blend sequence (reference ``create_smooth_transition_frames``,
+        ``model/inference.py:151-174``) — the comparison baseline."""
+        out = []
+        for i in range(1, num + 1):
+            a = i / (num + 1)
+            out.append(np.clip((1 - a) * f1.astype(np.float32) +
+                               a * f2.astype(np.float32), 0, 255).astype(np.uint8))
+        return out

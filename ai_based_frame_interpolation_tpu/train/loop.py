@@ -1,0 +1,233 @@
+"""SPMD training loop: jit train/eval steps over a data-parallel mesh.
+
+Re-implements the capability of the reference trainer
+(``model/train.py:153-316``: Adam lr=1e-4, combined 0.5*MSE+0.5*(1-SSIM)
+loss, ReduceLROnPlateau(factor=0.5, patience=10), best-val checkpointing)
+the TPU way:
+
+- the train step is a single jitted function over a ``Mesh('data')``; the
+  batch arrives sharded on its leading axis, params/opt-state replicated, and
+  XLA inserts the gradient all-reduce over ICI (no hand-written collectives);
+- BatchNorm batch statistics are computed over the **global** batch for free:
+  under jit, ``mean`` over the sharded axis is a cross-device reduction —
+  the TPU-native SyncBatchNorm;
+- plateau LR control is host-side at epoch boundaries via
+  ``optax.inject_hyperparams`` (a scalar push, not a recompile);
+- per-step NaN guard (``jnp.isfinite`` on the loss) instead of silent
+  divergence;
+- true ``--resume`` support: optimizer state, epoch, histories and RNG key
+  all checkpoint (the reference saves optimizer state but never reloads it —
+  SURVEY.md §5 checkpoint/resume).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import Config, LossConfig, TrainConfig
+from ..models.unet import FrameInterpolationUNet
+from ..ops.image import normalize_uint8
+from ..ops.psnr import psnr
+from ..ops.ssim import combined_loss, ssim_eval
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # static fields
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with an injectable learning rate (plateau control from the host)."""
+    return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
+
+
+def create_train_state(model: FrameInterpolationUNet, variables,
+                       cfg: TrainConfig) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables["batch_stats"],
+                      opt_state=tx.init(variables["params"]),
+                      apply_fn=model.apply, tx=tx)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Host-side LR override (plateau schedule) without recompilation."""
+    opt_state = state.opt_state
+    hyper = dict(opt_state.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hyper))
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state.hyperparams["learning_rate"])
+
+
+def _loss_and_updates(params, batch_stats, apply_fn, batch, loss_cfg: LossConfig):
+    f0 = normalize_uint8(batch["f0"])
+    f1 = normalize_uint8(batch["f1"])
+    gt = normalize_uint8(batch["gt"])
+    pred, mutated = apply_fn({"params": params, "batch_stats": batch_stats},
+                             f0, f1, train=True, mutable=["batch_stats"])
+    loss = combined_loss(pred, gt, loss_cfg.mse_weight, loss_cfg.ssim_weight,
+                         loss_cfg.ssim_window, loss_cfg.ssim_sigma)
+    return loss, mutated["batch_stats"]
+
+
+@partial(jax.jit, static_argnames=("loss_cfg",), donate_argnames=("state",))
+def train_step(state: TrainState, batch: Dict[str, jax.Array],
+               loss_cfg: LossConfig) -> Tuple[TrainState, jax.Array]:
+    """One SPMD optimization step. Returns (new_state, loss)."""
+    (loss, new_stats), grads = jax.value_and_grad(
+        _loss_and_updates, has_aux=True)(
+        state.params, state.batch_stats, state.apply_fn, batch, loss_cfg)
+    # NaN guard: skip the update when the loss is non-finite, keep training.
+    ok = jnp.isfinite(loss)
+    grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                            params, state.params),
+        batch_stats=jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                                 new_stats, state.batch_stats),
+        opt_state=opt_state)
+    return new_state, loss
+
+
+@partial(jax.jit, static_argnames=("loss_cfg",))
+def eval_step(state: TrainState, batch: Dict[str, jax.Array],
+              loss_cfg: LossConfig) -> Dict[str, jax.Array]:
+    """Validation: loss + on-device PSNR/SSIM vs the uint8 ground truth."""
+    from ..ops.image import denormalize_to_uint8
+
+    f0 = normalize_uint8(batch["f0"])
+    f1 = normalize_uint8(batch["f1"])
+    gt = normalize_uint8(batch["gt"])
+    pred = state.apply_fn({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          f0, f1, train=False)
+    loss = combined_loss(pred, gt, loss_cfg.mse_weight, loss_cfg.ssim_weight,
+                         loss_cfg.ssim_window, loss_cfg.ssim_sigma)
+    pred_u8 = denormalize_to_uint8(pred)
+    return {"loss": loss,
+            "psnr": jnp.mean(psnr(pred_u8, batch["gt"])),
+            "ssim": jnp.mean(ssim_eval(pred_u8, batch["gt"]))}
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau (reference ``model/train.py:163-165``), host-side."""
+
+    factor: float = 0.5
+    patience: int = 10
+    best: float = float("inf")
+    bad_epochs: int = 0
+
+    def update(self, metric: float, lr: float) -> float:
+        if metric < self.best - 1e-12:
+            self.best = metric
+            self.bad_epochs = 0
+            return lr
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return lr * self.factor
+        return lr
+
+
+@dataclasses.dataclass
+class History:
+    train_loss: List[float] = dataclasses.field(default_factory=list)
+    val_loss: List[float] = dataclasses.field(default_factory=list)
+    val_psnr: List[float] = dataclasses.field(default_factory=list)
+    val_ssim: List[float] = dataclasses.field(default_factory=list)
+    lr: List[float] = dataclasses.field(default_factory=list)
+
+
+def train_model(model: FrameInterpolationUNet, variables,
+                train_loader: Iterable, val_loader: Iterable,
+                cfg: TrainConfig, mesh=None,
+                checkpointer=None, log_fn: Callable[[str], None] = print,
+                start_epoch: int = 0, state: Optional[TrainState] = None,
+                history: Optional[History] = None) -> Tuple[TrainState, History]:
+    """Epoch-driven host loop around the jitted SPMD steps.
+
+    Keeps the reference's training contract (epochs, val phase, plateau LR,
+    best-val checkpoint) while all device work stays inside two compiled
+    programs.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    if state is None:
+        state = create_train_state(model, variables, cfg)
+        # replicate the state across the mesh once, up front
+        state = jax.device_put(state, replicated(mesh))
+    history = history or History()
+    sched = PlateauScheduler(cfg.plateau_factor, cfg.plateau_patience)
+    for past in history.val_loss:          # resume: replay plateau state
+        sched.update(past, get_learning_rate(state))
+    best_val = min(history.val_loss, default=float("inf"))
+    loss_cfg = cfg.loss
+
+    for epoch in range(start_epoch, cfg.epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch in train_loader:
+            state, loss = train_step(state, batch, loss_cfg)
+            train_losses.append(loss)
+        train_loss = float(np.mean([float(x) for x in train_losses])) \
+            if train_losses else float("nan")
+
+        val_metrics = {"loss": [], "psnr": [], "ssim": []}
+        for batch in val_loader:
+            m = eval_step(state, batch, loss_cfg)
+            for k in val_metrics:
+                val_metrics[k].append(float(m[k]))
+        val_loss = float(np.mean(val_metrics["loss"])) if val_metrics["loss"] \
+            else float("nan")
+
+        lr = get_learning_rate(state)
+        new_lr = sched.update(val_loss, lr)
+        if new_lr != lr:
+            state = set_learning_rate(state, new_lr)
+            log_fn(f"  plateau: lr {lr:.2e} -> {new_lr:.2e}")
+
+        history.train_loss.append(train_loss)
+        history.val_loss.append(val_loss)
+        history.val_psnr.append(float(np.mean(val_metrics["psnr"]))
+                                if val_metrics["psnr"] else float("nan"))
+        history.val_ssim.append(float(np.mean(val_metrics["ssim"]))
+                                if val_metrics["ssim"] else float("nan"))
+        history.lr.append(new_lr)
+
+        log_fn(f"epoch {epoch + 1}/{cfg.epochs}  "
+               f"train {train_loss:.6f}  val {val_loss:.6f}  "
+               f"psnr {history.val_psnr[-1]:.2f}  "
+               f"ssim {history.val_ssim[-1]:.4f}  lr {new_lr:.2e}  "
+               f"({time.time() - t0:.1f}s)")
+
+        if checkpointer is not None:
+            improved = val_loss < best_val
+            if improved:
+                best_val = val_loss
+            checkpointer.save(state=state, epoch=epoch, history=history,
+                              best=improved)
+    return state, history

@@ -1,0 +1,144 @@
+"""Training tests: jitted SPMD step, plateau schedule, NaN guard, full loop
+on the synthetic fixture, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai_based_frame_interpolation_tpu.config import (LossConfig, ModelConfig,
+                                                     TrainConfig)
+from ai_based_frame_interpolation_tpu.data.loader import TripletLoader
+from ai_based_frame_interpolation_tpu.data.synthetic import write_fixture_tree
+from ai_based_frame_interpolation_tpu.data.triplets import (scan_triplets,
+                                                            split_triplets)
+from ai_based_frame_interpolation_tpu.models import FrameInterpolationUNet
+from ai_based_frame_interpolation_tpu.parallel.mesh import (batch_sharding,
+                                                            make_mesh,
+                                                            replicated)
+from ai_based_frame_interpolation_tpu.train.checkpoint import Checkpointer
+from ai_based_frame_interpolation_tpu.train.loop import (
+    PlateauScheduler, create_train_state, eval_step, get_learning_rate,
+    set_learning_rate, train_model, train_step)
+
+TINY = ModelConfig(base_width=4)
+TCFG = TrainConfig(epochs=2, batch_size=8, learning_rate=1e-3)
+
+
+def tiny_state(seed=0, cfg=TINY, tcfg=TCFG):
+    model = FrameInterpolationUNet(cfg=cfg)
+    f = jnp.zeros((1, 32, 32, cfg.channels), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(seed), a, b, train=False))(f, f)
+    return model, create_train_state(model, variables, tcfg)
+
+
+def fake_batch(rng, batch=8, h=32, w=32):
+    return {k: jnp.asarray(rng.integers(0, 255, (batch, h, w, 1), np.uint8))
+            for k in ("f0", "f1", "gt")}
+
+
+def test_train_step_reduces_its_own_loss(rng):
+    _, state = tiny_state()
+    batch = fake_batch(rng)
+    losses = []
+    for _ in range(8):
+        state, loss = train_step(state, batch, TCFG.loss)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_eval_step_metrics(rng):
+    _, state = tiny_state()
+    m = eval_step(state, fake_batch(rng), TCFG.loss)
+    assert np.isfinite(float(m["loss"]))
+    assert 0 < float(m["psnr"]) < 60
+    assert -1 <= float(m["ssim"]) <= 1
+
+
+def test_nan_guard_skips_bad_update(rng):
+    _, state = tiny_state()
+    good = fake_batch(rng)
+    state, _ = train_step(state, good, TCFG.loss)
+    params_before = jax.tree.map(np.asarray, state.params)
+    # poison the batch -> non-finite loss -> update must be skipped
+    bad = dict(good)
+    bad["gt"] = jnp.full_like(jnp.asarray(good["gt"], jnp.float32),
+                              jnp.nan).astype(jnp.float32)
+    state2, loss = train_step(state, bad, TCFG.loss)
+    assert not np.isfinite(float(loss))
+    after = jax.tree.leaves(state2.params)
+    before = jax.tree.leaves(params_before)
+    assert all(np.allclose(a, b) for a, b in zip(before, after))
+
+
+def test_plateau_scheduler_behaviour():
+    s = PlateauScheduler(factor=0.5, patience=2)
+    lr = 1.0
+    assert s.update(1.0, lr) == 1.0          # first value = best
+    assert s.update(0.9, lr) == 1.0          # improvement
+    assert s.update(0.95, lr) == 1.0         # bad 1
+    assert s.update(0.95, lr) == 1.0         # bad 2
+    assert s.update(0.95, lr) == 0.5         # bad 3 > patience -> halve
+    assert s.bad_epochs == 0                 # reset after reduction
+
+
+def test_set_learning_rate_roundtrip():
+    _, state = tiny_state()
+    assert get_learning_rate(state) == pytest.approx(1e-3)
+    state = set_learning_rate(state, 5e-4)
+    assert get_learning_rate(state) == pytest.approx(5e-4)
+
+
+def test_sharded_train_step_on_8_device_mesh(rng):
+    # explicit CPU devices: the axon TPU plugin registers itself at
+    # interpreter start and overrides JAX_PLATFORMS, but the CPU backend
+    # (8 virtual devices via XLA_FLAGS) stays reachable by name.
+    mesh = make_mesh(devices=jax.devices("cpu"))
+    assert mesh.devices.size == 8
+    _, state = tiny_state()
+    state = jax.device_put(state, replicated(mesh))
+    batch = {k: jax.device_put(np.asarray(v), batch_sharding(mesh))
+             for k, v in fake_batch(rng, batch=16).items()}
+    state, loss = train_step(state, batch, TCFG.loss)
+    assert np.isfinite(float(loss))
+    # params remain replicated (no accidental sharding of the weights)
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_end_to_end_training_learns_and_resumes(tmp_path):
+    root = str(tmp_path / "data")
+    write_fixture_tree(root, num_videos=2, num_frames=8, height=32, width=32)
+    triplets = scan_triplets(root)
+    train_t, val_t = split_triplets(triplets, 0.25, seed=0)
+    mesh = make_mesh(1)
+    kw = dict(batch_size=4, height=32, width=32, num_workers=2, mesh=mesh)
+    train_loader = TripletLoader(train_t, seed=1, **kw)
+    val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False,
+                               **kw)
+
+    model = FrameInterpolationUNet(cfg=TINY)
+    f = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f, f)
+    tcfg = TrainConfig(epochs=3, batch_size=4, learning_rate=3e-3)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    logs = []
+    state, hist = train_model(model, variables, train_loader, val_loader,
+                              tcfg, mesh=mesh, checkpointer=ckpt,
+                              log_fn=logs.append)
+    assert len(hist.train_loss) == 3
+    # learning happened on the moving-circle data
+    assert hist.train_loss[-1] < hist.train_loss[0]
+    assert ckpt.has_checkpoint("latest") and ckpt.has_checkpoint("best")
+
+    # resume: restore and continue one more epoch without error
+    _, state2 = tiny_state(tcfg=tcfg)
+    state2, next_epoch, hist_dict = ckpt.restore(state2, which="latest")
+    assert next_epoch == 3
+    assert int(state2.step) == int(state.step)
+    np.testing.assert_allclose(np.asarray(jax.tree.leaves(state2.params)[0]),
+                               np.asarray(jax.tree.leaves(state.params)[0]))
