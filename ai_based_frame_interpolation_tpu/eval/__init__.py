@@ -1,0 +1,1 @@
+from . import harness, report  # noqa: F401
