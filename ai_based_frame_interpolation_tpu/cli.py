@@ -1,0 +1,350 @@
+"""CLI: train / infer / video / serve / eval / info.
+
+The compatibility surface of the reference's entry points (``main.py:19-74``,
+``model/train.py:252-258``, ``model/inference.py:205-214``) with every
+advertised flag actually honored (the reference silently drops
+``--batch-size``/``--lr`` and its infer/video subcommands import a class that
+does not exist — SURVEY.md §8.2/§8.5). Installed as both ``fi-tpu`` and the
+reference's ``frame-interpolation`` console script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+from typing import List, Optional
+
+from .config import (Config, DataConfig, ModelConfig, ServeConfig,
+                     TrainConfig, VideoConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fi-tpu",
+        description="TPU-native AI frame interpolation (JAX/Flax/XLA)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_model_flags(sp):
+        sp.add_argument("--model", default="checkpoints",
+                        help="orbax checkpoint dir or reference .pth file")
+        sp.add_argument("--channels", type=int, default=None, choices=(1, 3),
+                        help="1=grayscale (reference parity), 3=RGB; "
+                             "default: from checkpoint, else 1")
+        sp.add_argument("--dtype", default="bfloat16",
+                        choices=("bfloat16", "float32"),
+                        help="compute dtype on device")
+
+    t = sub.add_parser("train", help="train the interpolation model")
+    t.add_argument("--data-dir", default="data/train")
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--lr", type=float, default=1e-4,
+                   help="initial learning rate (reference hardcodes 1e-4)")
+    t.add_argument("--val-split", type=float, default=0.2)
+    t.add_argument("--height", type=int, default=256)
+    t.add_argument("--width", type=int, default=256)
+    t.add_argument("--channels", type=int, default=1, choices=(1, 3))
+    t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint (true resume: "
+                        "optimizer state, epoch, LR schedule)")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--num-devices", type=int, default=-1,
+                   help="devices in the data-parallel mesh (-1 = all)")
+    t.add_argument("--num-workers", type=int, default=4)
+    t.add_argument("--device", default=None,
+                   help="accepted for reference compatibility; device "
+                        "selection is automatic (mesh over all chips)")
+
+    i = sub.add_parser("infer", help="interpolate between two frames")
+    i.add_argument("--frame1", required=True)
+    i.add_argument("--frame2", required=True)
+    add_model_flags(i)
+    i.add_argument("--output", default="interpolated_frame.png")
+    i.add_argument("--num-intermediate", type=int, default=1)
+    i.add_argument("--fps", type=int, default=30)
+    i.add_argument("--save-comparison", action="store_true",
+                   help="also write a linear-blend comparison video")
+    i.add_argument("--height", type=int, default=256)
+    i.add_argument("--width", type=int, default=256)
+    i.add_argument("--device", default=None, help="compat flag (ignored)")
+
+    v = sub.add_parser("video", help="interpolate a video file to 2x/4x/8x fps")
+    v.add_argument("--input", required=True)
+    v.add_argument("--output", required=True)
+    add_model_flags(v)
+    v.add_argument("--factor", type=int, default=2,
+                   help="frame-rate multiplier (power of two)")
+    v.add_argument("--fps", type=float, default=None,
+                   help="output fps (default: input fps * factor)")
+    v.add_argument("--batch-pairs", type=int, default=8)
+    v.add_argument("--device", default=None, help="compat flag (ignored)")
+
+    e = sub.add_parser("eval", help="evaluate vs linear + optical-flow baselines")
+    e.add_argument("--test-dir", required=True)
+    add_model_flags(e)
+    e.add_argument("--output-dir", default="evaluation_results")
+    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--height", type=int, default=256)
+    e.add_argument("--width", type=int, default=256)
+    e.add_argument("--max-triplets", type=int, default=None)
+    e.add_argument("--save-frames", action="store_true")
+    e.add_argument("--device", default=None, help="compat flag (ignored)")
+
+    s = sub.add_parser("serve", help="start the HTTP API")
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    add_model_flags(s)
+    s.add_argument("--height", type=int, default=256)
+    s.add_argument("--width", type=int, default=256)
+    s.add_argument("--no-warmup", action="store_true")
+
+    n = sub.add_parser("info", help="model / checkpoint information")
+    add_model_flags(n)
+
+    return p
+
+
+def _load_engine(args, allow_random: bool = False):
+    import jax.numpy as jnp
+
+    from .infer.engine import InterpolationEngine
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = ModelConfig(channels=args.channels) if args.channels else None
+    if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
+        return InterpolationEngine.from_checkpoint(args.model, cfg,
+                                                   compute_dtype=dtype)
+    if allow_random:
+        print(f"warning: no checkpoint at '{args.model}', using random "
+              "weights (plumbing/demo mode)")
+        return InterpolationEngine.random_init(cfg or ModelConfig(),
+                                               compute_dtype=dtype)
+    raise SystemExit(f"error: checkpoint not found: {args.model}")
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from .data.loader import TripletLoader
+    from .data.triplets import scan_triplets, split_triplets
+    from .models.unet import FrameInterpolationUNet, count_parameters
+    from .parallel.mesh import make_mesh, maybe_init_distributed
+    from .train.checkpoint import Checkpointer, save_variables
+    from .train.loop import History, create_train_state, train_model
+
+    maybe_init_distributed()
+    mesh = make_mesh(None if args.num_devices in (-1, None)
+                     else args.num_devices)
+    n_dev = int(mesh.devices.size)
+    batch = args.batch_size
+    if batch % n_dev:
+        batch = ((batch + n_dev - 1) // n_dev) * n_dev
+        print(f"note: batch size rounded up to {batch} "
+              f"(divisible by {n_dev} devices)")
+
+    triplets = scan_triplets(args.data_dir)
+    if len(triplets) < 2:
+        raise SystemExit(f"error: not enough triplets in {args.data_dir} "
+                         f"(found {len(triplets)}; need frame_*.png videos "
+                         "with >= 3 frames)")
+    train_t, val_t = split_triplets(triplets, args.val_split, args.seed)
+    print(f"dataset: {len(triplets)} triplets "
+          f"({len(train_t)} train / {len(val_t)} val), "
+          f"{n_dev}-device mesh, global batch {batch}")
+
+    kw = dict(batch_size=batch, height=args.height, width=args.width,
+              grayscale=args.channels == 1, num_workers=args.num_workers,
+              mesh=mesh)
+    train_loader = TripletLoader(train_t, seed=args.seed + 1, **kw)
+    val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False, **kw)
+
+    mcfg = ModelConfig(channels=args.channels)
+    tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
+                       learning_rate=args.lr, val_split=args.val_split,
+                       seed=args.seed, checkpoint_dir=args.checkpoint_dir)
+    model = FrameInterpolationUNet(cfg=mcfg)
+    c = mcfg.channels
+    f = jnp.zeros((1, args.height, args.width, c), jnp.float32)
+    variables = jax.jit(lambda a, b: model.init(
+        jax.random.key(args.seed), a, b, train=False))(f, f)
+    print(f"model: {count_parameters(variables):,} parameters")
+
+    ckpt = Checkpointer(args.checkpoint_dir)
+    start_epoch, state, history = 0, None, None
+    if args.resume and ckpt.has_checkpoint("latest"):
+        state0 = create_train_state(model, variables, tcfg)
+        state, start_epoch, hist_dict = ckpt.restore(state0, which="latest")
+        if hist_dict:
+            history = History(**hist_dict)
+        print(f"resumed from epoch {start_epoch}")
+
+    state, history = train_model(model, variables, train_loader, val_loader,
+                                 tcfg, mesh=mesh, checkpointer=ckpt,
+                                 start_epoch=start_epoch, state=state,
+                                 history=history)
+    # export best weights as inference variables + model config
+    best_state, _, _ = ckpt.restore(create_train_state(model, variables, tcfg),
+                                    which="best")
+    save_variables(args.checkpoint_dir,
+                   {"params": best_state.params,
+                    "batch_stats": best_state.batch_stats}, mcfg)
+    print(f"checkpoints in {args.checkpoint_dir}/ "
+          "(best exported for inference)")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    from .data.video import VideoWriter
+    from .infer.engine import InterpolationEngine
+    from .ops.image import load_image, save_image
+
+    engine = _load_engine(args, allow_random=True)
+    gray = engine.cfg.channels == 1
+    size = (args.height, args.width)
+    f1 = load_image(args.frame1, grayscale=gray, size=size)
+    f2 = load_image(args.frame2, grayscale=gray, size=size)
+    n = args.num_intermediate
+    if n < 1:
+        raise SystemExit("error: --num-intermediate must be >= 1")
+
+    if n == 1:
+        mid = engine.interpolate_pair(f1, f2)
+        save_image(args.output, mid)
+        print(f"wrote {args.output}")
+        return 0
+
+    mids = engine.generate_intermediate_frames(f1, f2, n)
+    base, _ = os.path.splitext(args.output)
+    for i, m in enumerate(mids, 1):
+        save_image(f"{base}_intermediate_{i:02d}.png", m)
+    video_path = f"{base}_video.mp4"
+    with VideoWriter(video_path, fps=args.fps) as w:
+        for fr in [f1, *mids, f2]:
+            w.write(fr)
+    print(f"wrote {n} intermediate frames + {video_path}")
+    if args.save_comparison:
+        cmp_path = f"{base}_comparison.mp4"
+        blends = InterpolationEngine.linear_transition_frames(f1, f2, n)
+        with VideoWriter(cmp_path, fps=args.fps) as w:
+            for fr in [f1, *blends, f2]:
+                w.write(fr)
+        print(f"wrote {cmp_path} (linear-blend comparison)")
+    return 0
+
+
+def cmd_video(args) -> int:
+    engine = _load_engine(args, allow_random=True)
+    stats = engine.interpolate_video_file(
+        args.input, args.output, factor=args.factor,
+        batch_pairs=args.batch_pairs, fps=args.fps)
+    print(f"{args.input} -> {args.output}: "
+          f"{stats['input_frames']} -> {stats['output_frames']} frames "
+          f"@ {stats['output_fps']:.1f} fps "
+          f"({stats['frames_per_second']:.1f} out-frames/s)")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .eval.harness import evaluate_model
+    from .eval.report import generate_full_report, print_summary
+
+    engine = _load_engine(args, allow_random=True)
+    results = evaluate_model(
+        engine, test_dir=args.test_dir, batch_size=args.batch_size,
+        height=args.height, width=args.width,
+        save_frames_dir=os.path.join(args.output_dir, "frames")
+        if args.save_frames else None,
+        max_triplets=args.max_triplets, progress=True)
+    print_summary(results)
+    artifacts = generate_full_report(results, args.output_dir, engine=engine,
+                                     height=args.height, width=args.width)
+    print(f"report artifacts in {args.output_dir}/ "
+          f"(json, csv, plots, report.md, comparisons)")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .serve.server import Server, warmup
+
+    engine = _load_engine(args, allow_random=True)
+    cfg = ServeConfig(host=args.host, port=args.port, model_path=args.model)
+    if not args.no_warmup:
+        print("warmup: compiling the serving path...", flush=True)
+        dt = warmup(engine, (args.height, args.width))
+        print(f"warmup done in {dt:.1f}s")
+    server = Server(engine, cfg, resolution=(args.height, args.width))
+    print(f"serving on http://{args.host}:{server.port}  "
+          "(POST /interpolate, GET /, /health, /model-info)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nshutting down")
+        server.shutdown()
+    return 0
+
+
+def cmd_info(args) -> int:
+    import dataclasses
+    import json
+
+    from .models.unet import count_parameters
+
+    if args.model.endswith((".pth", ".pt")):
+        import torch
+
+        ckpt = torch.load(args.model, map_location="cpu", weights_only=False)
+        print(f"PyTorch checkpoint: {args.model}")
+        if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+            # reference format; tolerate missing keys (main.py:152-153 crashes
+            # formatting missing values — SURVEY.md §8.12)
+            for key in ("epoch", "train_loss", "val_loss"):
+                val = ckpt.get(key)
+                if isinstance(val, float):
+                    print(f"  {key}: {val:.6f}")
+                elif val is not None:
+                    print(f"  {key}: {val}")
+            sd = ckpt["model_state_dict"]
+        else:
+            sd = ckpt
+        n = sum(int(v.numel()) for v in sd.values()
+                if hasattr(v, "numel") and v.dtype.is_floating_point)
+        print(f"  parameters: {n:,}")
+        return 0
+
+    engine = _load_engine(args)
+    print(f"checkpoint: {args.model}")
+    print(f"  model config: {dataclasses.asdict(engine.cfg)}")
+    print(f"  parameters: {count_parameters(engine.variables):,}")
+    meta_path = os.path.join(args.model, "latest_meta.json")
+    if os.path.exists(meta_path):
+        meta = json.load(open(meta_path))
+        print(f"  epochs completed: {meta.get('epoch', '?')}")
+        hist = meta.get("history") or {}
+        if hist.get("val_loss"):
+            print(f"  best val loss: {min(hist['val_loss']):.6f}")
+            print(f"  last val psnr: {hist['val_psnr'][-1]:.2f} dB, "
+                  f"ssim {hist['val_ssim'][-1]:.4f}")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return {"train": cmd_train, "infer": cmd_infer, "video": cmd_video,
+                "eval": cmd_eval, "serve": cmd_serve,
+                "info": cmd_info}[args.command](args)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

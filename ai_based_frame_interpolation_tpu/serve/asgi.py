@@ -1,0 +1,71 @@
+"""Optional FastAPI/ASGI flavor of the same serving contract.
+
+The stdlib server (``server.py``) is the primary path — this module exists so
+deployments that already run uvicorn/fastapi (like the reference,
+``api/app.py:17-30``) can mount the identical endpoints. Import-gated: this
+image ships without fastapi, so nothing here imports at module load.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from ..config import ServeConfig
+from .server import HTTPError, InterpolationService, Part
+
+
+def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
+                     resolution: Tuple[int, int] = (256, 256)):
+    """Build a FastAPI app mirroring ``server.py``'s endpoints.
+
+    Raises ImportError with guidance when fastapi isn't installed.
+    """
+    try:
+        from fastapi import FastAPI, File, Form, HTTPException, UploadFile
+        from fastapi.middleware.cors import CORSMiddleware
+        from fastapi.responses import Response
+    except ImportError as e:
+        raise ImportError(
+            "fastapi is not installed; use the stdlib server "
+            "(ai_based_frame_interpolation_tpu.serve.server.Server) instead"
+        ) from e
+
+    service = InterpolationService(engine, cfg, resolution)
+    app = FastAPI(title="ai-based-frame-interpolation-tpu")
+    app.add_middleware(CORSMiddleware, allow_origins=["*"],
+                       allow_methods=["*"], allow_headers=["*"])
+
+    @app.get("/")
+    def index():
+        return service.index()
+
+    @app.get("/health")
+    def health():
+        return service.health()
+
+    @app.get("/model-info")
+    def model_info():
+        return service.model_info()
+
+    @app.post("/interpolate")
+    async def interpolate(frame1: UploadFile = File(...),
+                          frame2: UploadFile = File(...),
+                          num_intermediate: int = Form(3),
+                          fps: int = Form(30)):
+        parts = {
+            "frame1": Part("frame1", frame1.filename, frame1.content_type,
+                           await frame1.read()),
+            "frame2": Part("frame2", frame2.filename, frame2.content_type,
+                           await frame2.read()),
+            "num_intermediate": Part("num_intermediate", None, None,
+                                     str(num_intermediate).encode()),
+            "fps": Part("fps", None, None, str(fps).encode()),
+        }
+        try:
+            blob, fname = service.interpolate(parts)
+        except HTTPError as e:
+            raise HTTPException(e.status, e.detail)
+        return Response(blob, media_type="video/mp4", headers={
+            "Content-Disposition": f'attachment; filename="{fname}"'})
+
+    return app

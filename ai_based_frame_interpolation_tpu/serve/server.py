@@ -1,0 +1,342 @@
+"""HTTP serving: the reference's API contract on a warm in-process engine.
+
+Re-implements the reference FastAPI app (``api/app.py``) with the same public
+surface — ``POST /interpolate`` (multipart frame1/frame2 + num_intermediate
+1-10 + fps 10-60 -> MP4), ``GET /`` endpoint catalog, ``GET /health`` — plus
+a capability-superset ``GET /model-info`` (promised by the reference README
+but never implemented, ``README.md:130-139`` — SURVEY.md §8.6).
+
+Architecture differences (all deliberate fixes):
+- the reference shells out to a fresh ``python model/inference.py`` subprocess
+  per request, reloading the checkpoint every time with a cwd-relative model
+  path (``api/app.py:65-119``, §8.10) — here one warm jitted engine serves
+  every request in-process;
+- ``num_intermediate=1`` 500s in the reference because the subprocess writes
+  a PNG and no video (§8.9) — here every request produces a video;
+- implementation uses only the Python stdlib (``http.server`` + a small
+  multipart parser): this image has no fastapi/uvicorn, and a serving layer
+  with zero web-framework dependencies is one less moving part in production.
+
+Threading: decode/validation run on the HTTP worker threads; engine calls are
+serialized by an internal lock (single TPU). FastAPI compatibility: if
+``fastapi`` happens to be installed, ``make_fastapi_app`` in ``asgi.py``
+exposes the same contract as an ASGI app.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import tempfile
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import ServeConfig
+from ..models.unet import count_parameters
+
+ALLOWED_EXTENSIONS = {"jpg", "jpeg", "png", "bmp", "tiff", "tif"}
+ALLOWED_CONTENT_TYPES = {"image/jpeg", "image/jpg", "image/png", "image/bmp",
+                         "image/tiff"}
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+# ---------------------------------------------------------------------------
+# Multipart parsing (stdlib-only)
+# ---------------------------------------------------------------------------
+
+class Part:
+    def __init__(self, name: str, filename: Optional[str],
+                 content_type: Optional[str], data: bytes):
+        self.name = name
+        self.filename = filename
+        self.content_type = content_type
+        self.data = data
+
+
+def parse_multipart(body: bytes, content_type_header: str) -> Dict[str, Part]:
+    """Parse multipart/form-data into {field_name: Part}."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type_header)
+    if not m:
+        raise HTTPError(400, "malformed multipart request: no boundary")
+    boundary = b"--" + m.group(1).encode()
+    parts: Dict[str, Part] = {}
+    # split on boundary; first chunk is preamble, last is the epilogue "--"
+    for chunk in body.split(boundary)[1:]:
+        if chunk in (b"--", b"--\r\n", b"", b"\r\n"):
+            continue
+        chunk = chunk.lstrip(b"\r\n")
+        header_blob, _, data = chunk.partition(b"\r\n\r\n")
+        if not _:
+            continue
+        data = data[:-2] if data.endswith(b"\r\n") else data
+        headers = {}
+        for line in header_blob.split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode()
+        disp = headers.get("content-disposition", "")
+        name_m = re.search(r'name="([^"]*)"', disp)
+        if not name_m:
+            continue
+        file_m = re.search(r'filename="([^"]*)"', disp)
+        parts[name_m.group(1)] = Part(
+            name=name_m.group(1),
+            filename=file_m.group(1) if file_m else None,
+            content_type=headers.get("content-type"),
+            data=data)
+    return parts
+
+
+def validate_image_part(part: Optional[Part], field: str,
+                        max_bytes: int) -> bytes:
+    """Mirror the reference's upload validation (``api/app.py:52-63,139-154``)."""
+    if part is None or not part.data:
+        raise HTTPError(400, f"missing file field '{field}'")
+    if len(part.data) > max_bytes:
+        raise HTTPError(400, f"{field} exceeds {max_bytes // (1024*1024)} MB limit")
+    ext_ok = bool(part.filename and
+                  part.filename.rsplit(".", 1)[-1].lower() in ALLOWED_EXTENSIONS)
+    type_ok = (part.content_type or "").lower() in ALLOWED_CONTENT_TYPES
+    if not (ext_ok or type_ok):
+        raise HTTPError(400, f"{field} must be an image "
+                        f"({'/'.join(sorted(ALLOWED_EXTENSIONS))})")
+    return part.data
+
+
+def decode_image_bytes(data: bytes, grayscale: bool,
+                       size: Tuple[int, int]) -> np.ndarray:
+    import cv2
+
+    arr = np.frombuffer(data, np.uint8)
+    flag = cv2.IMREAD_GRAYSCALE if grayscale else cv2.IMREAD_COLOR
+    img = cv2.imdecode(arr, flag)
+    if img is None:
+        raise HTTPError(400, "could not decode image")
+    if (img.shape[0], img.shape[1]) != size:
+        img = cv2.resize(img, (size[1], size[0]),
+                         interpolation=cv2.INTER_LINEAR)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    else:
+        img = img[:, :, ::-1].copy()       # BGR -> RGB
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Application logic (transport-independent — shared with the ASGI variant)
+# ---------------------------------------------------------------------------
+
+class InterpolationService:
+    """Request handling around a warm engine; transport-agnostic."""
+
+    def __init__(self, engine, cfg: ServeConfig = ServeConfig(),
+                 resolution: Tuple[int, int] = (256, 256)):
+        self.engine = engine
+        self.cfg = cfg
+        self.resolution = resolution
+        self._lock = threading.Lock()
+        self.started_at = time.time()
+        self.requests_served = 0
+
+    # -- endpoint catalog (GET /) ------------------------------------------
+    def index(self) -> dict:
+        return {
+            "name": "ai-based-frame-interpolation-tpu",
+            "endpoints": {
+                "POST /interpolate": "two images + num_intermediate + fps -> MP4",
+                "GET /health": "liveness + engine status",
+                "GET /model-info": "model architecture and parameters",
+                "GET /": "this catalog",
+            },
+        }
+
+    def health(self) -> dict:
+        return {"status": "healthy",
+                "uptime_s": round(time.time() - self.started_at, 1),
+                "requests_served": self.requests_served,
+                "backend": _backend_name()}
+
+    def model_info(self) -> dict:
+        import dataclasses
+
+        return {"config": dataclasses.asdict(self.engine.cfg),
+                "parameters": count_parameters(self.engine.variables),
+                "resolution": list(self.resolution),
+                "compute_dtype": str(self.engine.compute_dtype.__name__
+                                     if hasattr(self.engine.compute_dtype,
+                                                "__name__")
+                                     else self.engine.compute_dtype)}
+
+    def interpolate(self, parts: Dict[str, Part]) -> Tuple[bytes, str]:
+        """Returns (mp4_bytes, suggested_filename)."""
+        num = _int_field(parts, "num_intermediate", default=3)
+        fps = _int_field(parts, "fps", default=30)
+        if not 1 <= num <= self.cfg.max_intermediate:
+            raise HTTPError(400, f"num_intermediate must be in "
+                            f"[1, {self.cfg.max_intermediate}]")
+        if not 10 <= fps <= 60:
+            raise HTTPError(400, "fps must be in [10, 60]")
+        d1 = validate_image_part(parts.get("frame1"), "frame1",
+                                 self.cfg.max_upload_bytes)
+        d2 = validate_image_part(parts.get("frame2"), "frame2",
+                                 self.cfg.max_upload_bytes)
+        grayscale = self.engine.cfg.channels == 1
+        f1 = decode_image_bytes(d1, grayscale, self.resolution)
+        f2 = decode_image_bytes(d2, grayscale, self.resolution)
+
+        with self._lock:
+            mids = self.engine.generate_intermediate_frames(f1, f2, num)
+        frames = [f1, *mids, f2]
+
+        from ..data.video import VideoWriter
+
+        with tempfile.TemporaryDirectory() as tmp:
+            out = os.path.join(tmp, "video.mp4")
+            with VideoWriter(out, fps=float(fps)) as w:
+                for fr in frames:
+                    w.write(fr)
+            with open(out, "rb") as f:
+                blob = f.read()
+        self.requests_served += 1
+        return blob, f"interpolated_frames_{num}inter_{fps}fps.mp4"
+
+
+def _int_field(parts: Dict[str, Part], name: str, default: int) -> int:
+    part = parts.get(name)
+    if part is None:
+        return default
+    try:
+        return int(part.data.decode().strip())
+    except ValueError:
+        raise HTTPError(400, f"{name} must be an integer")
+
+
+def _backend_name() -> str:
+    try:
+        import jax
+
+        return str(jax.devices()[0].platform)
+    except Exception:
+        return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTTP transport
+# ---------------------------------------------------------------------------
+
+def make_handler(service: InterpolationService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send_json(self, obj, status=200):
+            blob = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/":
+                self._send_json(service.index())
+            elif self.path == "/health":
+                self._send_json(service.health())
+            elif self.path == "/model-info":
+                self._send_json(service.model_info())
+            else:
+                self._send_json({"detail": "not found"}, 404)
+
+        def do_OPTIONS(self):
+            self.send_response(204)
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods",
+                             "GET, POST, OPTIONS")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_POST(self):
+            if self.path != "/interpolate":
+                self._send_json({"detail": "not found"}, 404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if length > service.cfg.max_upload_bytes * 2 + 65536:
+                    raise HTTPError(400, "request too large")
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" not in ctype:
+                    raise HTTPError(400, "expected multipart/form-data")
+                parts = parse_multipart(body, ctype)
+                blob, fname = service.interpolate(parts)
+            except HTTPError as e:
+                self._send_json({"detail": e.detail}, e.status)
+                return
+            except Exception as e:  # 500 mapping (api/app.py:193-195)
+                self._send_json({"detail": f"internal error: {e}"}, 500)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "video/mp4")
+            self.send_header("Content-Disposition",
+                             f'attachment; filename="{fname}"')
+            self.send_header("Content-Length", str(len(blob)))
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.end_headers()
+            self.wfile.write(blob)
+
+    return Handler
+
+
+class Server:
+    """Owns the ThreadingHTTPServer; start()/serve_forever()/shutdown()."""
+
+    def __init__(self, engine, cfg: ServeConfig = ServeConfig(),
+                 resolution: Tuple[int, int] = (256, 256)):
+        self.service = InterpolationService(engine, cfg, resolution)
+        self.httpd = ThreadingHTTPServer((cfg.host, cfg.port),
+                                         make_handler(self.service))
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start_background(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def warmup(engine, resolution: Tuple[int, int] = (256, 256),
+           num: int = 3) -> float:
+    """Pre-compile the serving path so the first request isn't a 20-40 s
+    compile (the startup health check the reference lacks — it only warns if
+    the checkpoint file is missing, ``api/app.py:225-234``)."""
+    t0 = time.time()
+    c = engine.cfg.channels
+    z = np.zeros((*resolution, c), np.uint8)
+    engine.generate_intermediate_frames(z, z, num)
+    return time.time() - t0

@@ -1,0 +1,1 @@
+from .logging import StageTimer, get_logger  # noqa: F401

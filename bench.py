@@ -1,0 +1,100 @@
+"""Benchmark: 1080p 2x interpolation throughput, device-resident.
+
+Measures the north-star metric from BASELINE.md — "1080p output frames/sec
+per chip at 2x" — on whatever accelerator is visible (the driver runs this on
+one real TPU chip). The measured path is the production inference kernel:
+uint8 frames -> normalize -> padded 1088x1920 -> bf16 UNet forward -> uint8
+midpoints, all on device, batched. Codec I/O is excluded by design (it runs
+on host threads overlapped with compute in the streaming pipeline; the chip
+metric is what scales with chips).
+
+Baseline: the driver target is >200 output frames/sec on a v5e-8 => 25
+frames/sec/chip. ``vs_baseline`` is measured_fps / 25.
+
+Prints exactly one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def find_batch_and_rate(engine, height, width, channels, candidates,
+                        warmup_iters=2, min_seconds=5.0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    last_err = None
+    for batch in candidates:
+        try:
+            f1 = jnp.asarray(rng.integers(0, 255, (batch, height, width,
+                                                   channels), np.uint8))
+            f2 = jnp.asarray(rng.integers(0, 255, f1.shape, np.uint8))
+            fn = engine._pair_fn(1, 1)
+
+            def force(x):
+                # block_until_ready is a no-op on the axon tunnel platform;
+                # a D2H fetch of a tiny slice forces the whole dependency
+                # chain without paying the full-frame transfer cost
+                return np.asarray(x[0, 0, 0, :])
+
+            out = fn(engine.variables, f1, f2)
+            force(out)
+            for _ in range(warmup_iters):
+                force(fn(engine.variables, f1, f2))
+            iters = 0
+            t0 = time.perf_counter()
+            while True:
+                out = fn(engine.variables, f1, f2)
+                iters += 1
+                if iters % 4 == 0:
+                    force(out)
+                    if time.perf_counter() - t0 >= min_seconds:
+                        break
+            force(out)
+            dt = time.perf_counter() - t0
+            return batch, (batch * iters) / dt
+        except Exception as e:  # OOM at this batch -> try smaller
+            last_err = e
+            continue
+    raise RuntimeError(f"all batch sizes failed; last error: {last_err}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--channels", type=int, default=1,
+                   help="1 = reference parity (grayscale); 3 = RGB flagship")
+    p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--batches", type=int, nargs="+",
+                   default=[16, 8, 4, 2, 1])
+    args = p.parse_args(argv)
+
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+
+    engine = InterpolationEngine.random_init(
+        ModelConfig(channels=args.channels))
+    batch, fps = find_batch_and_rate(
+        engine, args.height, args.width, args.channels, args.batches,
+        min_seconds=args.seconds)
+
+    baseline_per_chip = 25.0     # >200 fps on v5e-8 => 25 fps/chip
+    print(json.dumps({
+        "metric": "1080p output frames/sec/chip at 2x",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_per_chip, 3),
+        "detail": {"batch": batch, "height": args.height,
+                   "width": args.width, "channels": args.channels},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

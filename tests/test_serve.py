@@ -1,0 +1,201 @@
+"""HTTP API tests: contract of POST /interpolate, GET /, /health, /model-info.
+
+Exercises the real server over a live socket (the reference has no API tests
+at all; its own N=1 request path 500s — SURVEY.md §8.9 — which is covered
+here as a must-succeed case).
+"""
+
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ai_based_frame_interpolation_tpu.config import ModelConfig, ServeConfig
+from ai_based_frame_interpolation_tpu.infer.engine import InterpolationEngine
+from ai_based_frame_interpolation_tpu.serve.server import (
+    HTTPError, Part, Server, parse_multipart, validate_image_part)
+
+
+def encode_png(shape=(64, 64), value=128):
+    import cv2
+
+    img = np.full(shape, value, np.uint8)
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    return buf.tobytes()
+
+
+def multipart_body(fields):
+    boundary = "testboundary123"
+    out = io.BytesIO()
+    for name, value in fields.items():
+        out.write(f"--{boundary}\r\n".encode())
+        if isinstance(value, tuple):
+            fname, ctype, data = value
+            out.write(f'Content-Disposition: form-data; name="{name}"; '
+                      f'filename="{fname}"\r\n'.encode())
+            out.write(f"Content-Type: {ctype}\r\n\r\n".encode())
+            out.write(data)
+        else:
+            out.write(f'Content-Disposition: form-data; name="{name}"'
+                      '\r\n\r\n'.encode())
+            out.write(str(value).encode())
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture(scope="module")
+def server():
+    engine = InterpolationEngine.random_init(ModelConfig(base_width=4))
+    srv = Server(engine, ServeConfig(host="127.0.0.1", port=0),
+                 resolution=(64, 64))
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+
+
+def request(server, path, method="GET", body=None, ctype=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", data=body, method=method)
+    if ctype:
+        req.add_header("Content-Type", ctype)
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_index_catalog(server):
+    status, _, body = request(server, "/")
+    assert status == 200
+    data = json.loads(body)
+    assert "POST /interpolate" in data["endpoints"]
+
+
+def test_health(server):
+    status, _, body = request(server, "/health")
+    assert status == 200
+    assert json.loads(body)["status"] == "healthy"
+
+
+def test_model_info(server):
+    status, _, body = request(server, "/model-info")
+    data = json.loads(body)
+    assert status == 200
+    assert data["parameters"] > 0
+    assert data["config"]["channels"] == 1
+
+
+def test_interpolate_returns_mp4(server):
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png(value=50)),
+        "frame2": ("b.png", "image/png", encode_png(value=200)),
+        "num_intermediate": 3, "fps": 30})
+    status, headers, blob = request(server, "/interpolate", "POST", body, ctype)
+    assert status == 200, blob
+    assert headers["Content-Type"] == "video/mp4"
+    assert "3inter_30fps" in headers["Content-Disposition"]
+    assert len(blob) > 100
+    # decodable mp4 with 2 + 3 frames
+    import tempfile, os, cv2
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+        f.write(blob)
+    cap = cv2.VideoCapture(f.name)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 5
+    os.unlink(f.name)
+
+
+def test_interpolate_n1_succeeds(server):
+    # the reference 500s on num_intermediate=1 (SURVEY.md §8.9)
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png()),
+        "frame2": ("b.png", "image/png", encode_png()),
+        "num_intermediate": 1, "fps": 30})
+    status, headers, blob = request(server, "/interpolate", "POST", body, ctype)
+    assert status == 200
+    assert headers["Content-Type"] == "video/mp4"
+
+
+@pytest.mark.parametrize("field,value,detail_part", [
+    ("num_intermediate", 0, "num_intermediate"),
+    ("num_intermediate", 11, "num_intermediate"),
+    ("fps", 5, "fps"),
+    ("fps", 61, "fps"),
+])
+def test_interpolate_param_validation(server, field, value, detail_part):
+    fields = {"frame1": ("a.png", "image/png", encode_png()),
+              "frame2": ("b.png", "image/png", encode_png()),
+              "num_intermediate": 3, "fps": 30}
+    fields[field] = value
+    body, ctype = multipart_body(fields)
+    status, _, blob = request(server, "/interpolate", "POST", body, ctype)
+    assert status == 400
+    assert detail_part in json.loads(blob)["detail"]
+
+
+def test_interpolate_missing_file(server):
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png())})
+    status, _, blob = request(server, "/interpolate", "POST", body, ctype)
+    assert status == 400
+    assert "frame2" in json.loads(blob)["detail"]
+
+
+def test_interpolate_bad_image_rejected(server):
+    body, ctype = multipart_body({
+        "frame1": ("a.txt", "text/plain", b"not an image"),
+        "frame2": ("b.png", "image/png", encode_png())})
+    status, _, blob = request(server, "/interpolate", "POST", body, ctype)
+    assert status == 400
+
+
+def test_interpolate_corrupt_image_rejected(server):
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", b"\x89PNG garbage"),
+        "frame2": ("b.png", "image/png", encode_png())})
+    status, _, blob = request(server, "/interpolate", "POST", body, ctype)
+    assert status == 400
+    assert "decode" in json.loads(blob)["detail"]
+
+
+def test_unknown_route_404(server):
+    status, _, _ = request(server, "/nope")
+    assert status == 404
+
+
+def test_non_multipart_post_400(server):
+    status, _, blob = request(server, "/interpolate", "POST", b"{}",
+                              "application/json")
+    assert status == 400
+
+
+# ---------------------------------------------------------------------------
+# Unit tests of the multipart parser / validators
+# ---------------------------------------------------------------------------
+
+def test_parse_multipart_roundtrip():
+    body, ctype = multipart_body({
+        "a": ("f.png", "image/png", b"\x01\x02"),
+        "b": "hello"})
+    parts = parse_multipart(body, ctype)
+    assert parts["a"].filename == "f.png"
+    assert parts["a"].data == b"\x01\x02"
+    assert parts["b"].data == b"hello"
+    assert parts["b"].filename is None
+
+
+def test_parse_multipart_no_boundary():
+    with pytest.raises(HTTPError):
+        parse_multipart(b"x", "multipart/form-data")
+
+
+def test_validate_size_cap():
+    part = Part("frame1", "a.png", "image/png", b"x" * 100)
+    with pytest.raises(HTTPError) as e:
+        validate_image_part(part, "frame1", max_bytes=10)
+    assert "limit" in e.value.detail
