@@ -51,21 +51,47 @@ def _bisect(fwd, variables, x1, x2, depth: int) -> List[jax.Array]:
 
 
 class InterpolationEngine:
-    """Load-once, compile-per-shape, serve-forever interpolation engine."""
+    """Load-once, compile-per-shape, serve-forever interpolation engine.
+
+    ``fold=True`` (default) pre-multiplies inference-mode BatchNorm into the
+    conv weights (``models.unet.fold_batchnorm``): same math, far less HBM
+    traffic — the difference between ~19 and ~2x that fps at 1080p.
+    """
 
     def __init__(self, model: FrameInterpolationUNet, variables,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None):
+        if (fold and isinstance(variables, dict)
+                and variables.get("batch_stats")):
+            from ..models.unet import fold_batchnorm
+
+            variables = fold_batchnorm(variables)
+            model = FrameInterpolationUNet(cfg=model.cfg,
+                                           compute_dtype=compute_dtype,
+                                           folded=True)
         self.model = model
         self.cfg: ModelConfig = model.cfg
-        self.variables = variables
         self.compute_dtype = compute_dtype
-        self._fwd = None  # built lazily (bound to compute dtype)
+        # SPMD inference: replicate weights across the mesh; inputs are
+        # sharded per call (batch axis, or spatial H for batch < devices —
+        # parallel/sharding.py). mesh=None => single device, plain arrays.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.sharding import put_replicated
+
+            variables = put_replicated(variables, mesh)
+        self.variables = variables
+
+    def _put(self, arr):
+        from ..parallel.sharding import put_frames
+
+        return put_frames(arr, self.mesh)
 
     # -- factory -----------------------------------------------------------
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None,
-                        compute_dtype=jnp.bfloat16) -> "InterpolationEngine":
+                        compute_dtype=jnp.bfloat16,
+                        fold: bool = True) -> "InterpolationEngine":
         """Load an Orbax variables dir, a training checkpoint dir, or a
         reference-format ``.pth`` (auto-detected)."""
         import os
@@ -89,11 +115,12 @@ class InterpolationEngine:
                     f"orbax dir with variables/)")
         model = FrameInterpolationUNet(cfg=cfg or ModelConfig(),
                                        compute_dtype=compute_dtype)
-        return cls(model, variables, compute_dtype)
+        return cls(model, variables, compute_dtype, fold=fold)
 
     @classmethod
     def random_init(cls, cfg: Optional[ModelConfig] = None, seed: int = 0,
-                    compute_dtype=jnp.bfloat16) -> "InterpolationEngine":
+                    compute_dtype=jnp.bfloat16,
+                    fold: bool = True) -> "InterpolationEngine":
         """Engine with random weights (plumbing tests / demos)."""
         cfg = cfg or ModelConfig()
         model = FrameInterpolationUNet(cfg=cfg, compute_dtype=compute_dtype)
@@ -101,7 +128,7 @@ class InterpolationEngine:
         f = jnp.zeros((1, 64, 64, c), jnp.float32)
         variables = jax.jit(lambda a, b: model.init(
             jax.random.key(seed), a, b, train=False))(f, f)
-        return cls(model, variables, compute_dtype)
+        return cls(model, variables, compute_dtype, fold=fold)
 
     # -- compiled kernels ---------------------------------------------------
 
@@ -148,8 +175,8 @@ class InterpolationEngine:
 
     def interpolate_batch(self, f1: np.ndarray, f2: np.ndarray) -> np.ndarray:
         """Batched midpoints: [B,H,W,C] u8 x2 -> [B,H,W,C] u8."""
-        out = self._pair_fn(1, 1)(self.variables, jnp.asarray(f1),
-                                  jnp.asarray(f2))
+        out = self._pair_fn(1, 1)(self.variables, self._put(f1),
+                                  self._put(f2))
         return np.asarray(out[:, 0])
 
     def generate_intermediate_frames(self, f1: np.ndarray, f2: np.ndarray,
@@ -160,8 +187,8 @@ class InterpolationEngine:
         if num < 1:
             raise ValueError("num must be >= 1")
         depth = max(1, math.ceil(math.log2(num + 1)))
-        out = self._pair_fn(num, depth)(self.variables, jnp.asarray(f1[None]),
-                                        jnp.asarray(f2[None]))
+        out = self._pair_fn(num, depth)(self.variables, self._put(f1[None]),
+                                        self._put(f2[None]))
         return [np.asarray(out[0, i]) for i in range(num)]
 
     def interpolate_video_frames(
@@ -180,35 +207,55 @@ class InterpolationEngine:
         depth = int(math.log2(factor))
         fn = self._pair_fn(factor - 1, depth)
 
-        buf: List[np.ndarray] = []
-        prev: Optional[np.ndarray] = None
+        from ..ops import native
 
-        def flush(pairs: List[Tuple[np.ndarray, np.ndarray]]):
-            f1 = jnp.asarray(np.stack([p[0] for p in pairs]))
-            f2 = jnp.asarray(np.stack([p[1] for p in pairs]))
-            return np.asarray(fn(self.variables, f1, f2))
+        def dispatch(pairs: List[Tuple[np.ndarray, np.ndarray]]):
+            """Start the device computation for a batch (async) and keep the
+            host-side originals for assembly."""
+            if len(pairs) > 1:
+                f0 = np.stack([p[0] for p in pairs])
+            else:
+                f0 = pairs[0][0][None]
+            f1 = np.stack([p[1] for p in pairs]) if len(pairs) > 1 \
+                else pairs[0][1][None]
+            out = fn(self.variables, self._put(f0), self._put(f1))
+            return f0, pairs[-1][1], out
 
+        def emit(batch, final: bool):
+            """Materialize a dispatched batch and yield playback-order frames
+            (native single-pass interleave); the trailing original is held
+            back unless this is the final batch — it opens the next one."""
+            f0b, f1_last, device_out = batch
+            mids = np.asarray(device_out)          # blocks; next batch is
+            originals = np.concatenate([f0b, f1_last[None]], axis=0)
+            stream = native.interleave(originals, mids)  # already in flight
+            end = len(stream) if final else len(stream) - 1
+            for i in range(end):
+                yield stream[i]
+
+        prev_frame: Optional[np.ndarray] = None
         pending: List[Tuple[np.ndarray, np.ndarray]] = []
+        in_flight = None
         for frame in frames:
             frame = np.asarray(frame)
-            if prev is not None:
-                pending.append((prev, frame))
+            if prev_frame is not None:
+                pending.append((prev_frame, frame))
                 if len(pending) == batch_pairs:
-                    mids = flush(pending)
-                    for i, (a, _) in enumerate(pending):
-                        yield a
-                        for k in range(factor - 1):
-                            yield mids[i, k]
+                    batch = dispatch(pending)      # overlap: dispatch k+1 ...
                     pending = []
-            prev = frame
+                    if in_flight is not None:
+                        yield from emit(in_flight, final=False)  # ... drain k
+                    in_flight = batch
+            prev_frame = frame
         if pending:
-            mids = flush(pending)
-            for i, (a, _) in enumerate(pending):
-                yield a
-                for k in range(factor - 1):
-                    yield mids[i, k]
-        if prev is not None:
-            yield prev
+            batch = dispatch(pending)
+            if in_flight is not None:
+                yield from emit(in_flight, final=False)
+            in_flight = batch
+        if in_flight is not None:
+            yield from emit(in_flight, final=True)
+        elif prev_frame is not None:
+            yield prev_frame                       # 1-frame input passthrough
 
     def interpolate_video_file(self, in_path: str, out_path: str,
                                factor: int = 2, batch_pairs: int = 8,

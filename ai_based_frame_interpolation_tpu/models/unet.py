@@ -37,24 +37,30 @@ Dtype = Any
 class DoubleConv(nn.Module):
     """(3x3 conv, no bias -> BatchNorm -> ReLU) x 2.
 
-    Capability of reference ``model/unet.py:5-21``.
+    Capability of reference ``model/unet.py:5-21``. With ``folded=True`` the
+    BatchNorm affine (inference running stats) is pre-multiplied into the
+    conv kernel/bias (see :func:`fold_batchnorm`): identical math, but the
+    16 full-resolution normalize passes disappear — at 1080p those are pure
+    HBM traffic and dominate the inference profile.
     """
 
     out_ch: int
     mid_ch: Optional[int] = None
     compute_dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         mid = self.mid_ch if self.mid_ch is not None else self.out_ch
         for i, ch in enumerate((mid, self.out_ch)):
-            x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+            x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=self.folded,
                         dtype=self.compute_dtype, name=f"conv{i + 1}")(x)
-            # BN statistics in f32 for stability; torch defaults eps=1e-5,
-            # momentum 0.1 (flax convention: momentum = 1 - torch_momentum).
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name=f"bn{i + 1}")(x)
+            if not self.folded:
+                # BN statistics in f32 for stability; torch defaults eps=1e-5,
+                # momentum 0.1 (flax: momentum = 1 - torch_momentum).
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=jnp.float32,
+                                 name=f"bn{i + 1}")(x)
             x = nn.relu(x).astype(self.compute_dtype)
         return x
 
@@ -64,12 +70,13 @@ class Down(nn.Module):
 
     out_ch: int
     compute_dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConv(self.out_ch, compute_dtype=self.compute_dtype,
-                          name="conv")(x, train)
+                          folded=self.folded, name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -84,6 +91,7 @@ class Up(nn.Module):
     out_ch: int
     bilinear: bool = True
     compute_dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
@@ -105,7 +113,7 @@ class Up(nn.Module):
                 (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)]
             x1 = jnp.pad(x1, pad)
         x = jnp.concatenate([x2, x1.astype(x2.dtype)], axis=-1)
-        return DoubleConv(self.out_ch, mid_ch=mid,
+        return DoubleConv(self.out_ch, mid_ch=mid, folded=self.folded,
                           compute_dtype=self.compute_dtype, name="conv")(x, train)
 
 
@@ -122,6 +130,7 @@ class UNet(nn.Module):
     depth: int = 4
     bilinear: bool = True
     compute_dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -130,12 +139,14 @@ class UNet(nn.Module):
         cdt = self.compute_dtype
         x = x.astype(cdt)
 
-        skips = [DoubleConv(w, compute_dtype=cdt, name="inc")(x, train)]
+        skips = [DoubleConv(w, compute_dtype=cdt, folded=self.folded,
+                            name="inc")(x, train)]
         for i in range(1, self.depth + 1):
             ch = w * (2 ** i)
             if i == self.depth:
                 ch //= factor
-            skips.append(Down(ch, compute_dtype=cdt, name=f"down{i}")(skips[-1], train))
+            skips.append(Down(ch, compute_dtype=cdt, folded=self.folded,
+                              name=f"down{i}")(skips[-1], train))
 
         y = skips[-1]
         for i in range(1, self.depth + 1):
@@ -144,6 +155,7 @@ class UNet(nn.Module):
                 ch //= factor
             # up1 pairs the bottleneck with skip[depth-1], etc.
             y = Up(ch, bilinear=self.bilinear, compute_dtype=cdt,
+                   folded=self.folded,
                    name=f"up{i}")(y, skips[self.depth - i], train)
 
         y = nn.Conv(self.out_channels, (1, 1), use_bias=True,
@@ -163,6 +175,7 @@ class FrameInterpolationUNet(nn.Module):
 
     cfg: ModelConfig = ModelConfig()
     compute_dtype: Dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
@@ -180,6 +193,7 @@ class FrameInterpolationUNet(nn.Module):
                     depth=self.cfg.depth,
                     bilinear=self.cfg.bilinear,
                     compute_dtype=self.compute_dtype,
+                    folded=self.folded,
                     name="unet")(x, train)
 
 
@@ -200,3 +214,46 @@ def count_parameters(variables) -> int:
     """Trainable parameter count (reference ``model/unet.py:114-116``)."""
     params = variables["params"] if "params" in variables else variables
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def fold_batchnorm(variables) -> dict:
+    """Pre-multiply inference-mode BatchNorm into the preceding convs.
+
+    For eval-mode BN (running stats): ``bn(conv(x)) = conv(x)*g + b`` with
+    ``g = scale/sqrt(var+eps)`` and ``b = bias - mean*g`` per channel, so the
+    conv kernel absorbs ``g`` on its output-channel axis and gains bias ``b``.
+    Returns ``{"params": ...}`` for the ``folded=True`` model variant —
+    mathematically identical (up to float re-association), tested to ~1e-5
+    in ``tests/test_folded.py``. BN dominates inference HBM traffic at high
+    resolution, which is why the serving engine folds by default.
+    """
+    import numpy as np
+
+    eps = 1e-5
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    def fold_tree(p_node, s_node):
+        out = {}
+        for key, val in p_node.items():
+            if key.startswith("bn"):
+                continue  # consumed by the paired conv below
+            if key.startswith("conv") and isinstance(val, dict) \
+                    and "kernel" in val and f"bn{key[-1]}" in p_node:
+                bn_p = p_node[f"bn{key[-1]}"]
+                bn_s = s_node[f"bn{key[-1]}"]
+                g = bn_p["scale"] / np.sqrt(bn_s["var"] + eps)
+                out[key] = {
+                    "kernel": (val["kernel"] * g).astype(val["kernel"].dtype),
+                    "bias": (bn_p["bias"] - bn_s["mean"] * g
+                             ).astype(val["kernel"].dtype)}
+            elif isinstance(val, dict) and "kernel" not in val:
+                out[key] = fold_tree(val, s_node.get(key, {}))
+            else:
+                out[key] = val
+        return out
+
+    folded = {"params": fold_tree(params, stats)}
+    # back onto device once — returning host numpy here would silently
+    # re-upload all ~69 MB of weights on every jitted call
+    return jax.tree.map(jnp.asarray, folded)

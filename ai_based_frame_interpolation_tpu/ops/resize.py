@@ -60,17 +60,54 @@ def _linear_matrix_np(in_size: int, out_size: int, align_corners: bool) -> np.nd
     return m
 
 
+@functools.lru_cache(maxsize=128)
+def _linear_taps_np(in_size: int, out_size: int, align_corners: bool):
+    """(lo[out], hi[out], w[out]): out[o] = (1-w)*x[lo] + w*x[hi].
+
+    The exact 2-tap sparsity of 1-D linear interpolation. A dense [out, in]
+    matmul formulation computes the same thing with in/2 times the FLOPs —
+    at 1080p that made the decoder's upsamples cost more than every conv in
+    the network combined; the gather+lerp form is a cheap bandwidth-bound
+    elementwise op that XLA fuses with its consumers.
+    """
+    m = _linear_matrix_np(in_size, out_size, align_corners)
+    lo = np.zeros(out_size, np.int32)
+    hi = np.zeros(out_size, np.int32)
+    w = np.zeros(out_size, np.float32)
+    for o in range(out_size):
+        nz = np.nonzero(m[o])[0]
+        if len(nz) == 1:
+            lo[o] = hi[o] = nz[0]
+            w[o] = 0.0
+        else:
+            lo[o], hi[o] = nz[0], nz[-1]
+            w[o] = m[o, hi[o]]
+    return lo, hi, w
+
+
+def _lerp_axis(x: jax.Array, axis: int, in_size: int, out_size: int,
+               align_corners: bool) -> jax.Array:
+    lo, hi, w = _linear_taps_np(in_size, out_size, align_corners)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    wb = jnp.asarray(w).reshape(shape)
+    out = x_lo.astype(jnp.float32) * (1.0 - wb) + x_hi.astype(jnp.float32) * wb
+    return out.astype(x.dtype)
+
+
 def resize_bilinear(
     x: jax.Array,
     out_hw: Tuple[int, int],
     align_corners: bool = True,
-    precision=jax.lax.Precision.HIGHEST,
+    precision=None,  # kept for API compat; the lerp path has no matmuls
 ) -> jax.Array:
     """Bilinear-resize an NHWC (or HWC) image tensor to ``out_hw``.
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear',
     align_corners=...)`` bit-for-bit at f32 (golden-tested in
-    ``tests/test_resize.py``).
+    ``tests/test_resize.py``). Implemented as per-axis gather + lerp in f32.
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -79,15 +116,10 @@ def resize_bilinear(
         raise ValueError(f"expected NHWC or HWC, got shape {x.shape}")
     h_in, w_in = x.shape[1], x.shape[2]
     h_out, w_out = out_hw
-    dtype = x.dtype
-    mh = jnp.asarray(_linear_matrix_np(h_in, h_out, align_corners), dtype)
-    mw = jnp.asarray(_linear_matrix_np(w_in, w_out, align_corners), dtype)
-    if (h_in, w_in) != (h_out, w_out):
-        if h_in != h_out:
-            x = jnp.einsum("oh,nhwc->nowc", mh, x, precision=precision)
-        if w_in != w_out:
-            x = jnp.einsum("pw,nwoc->npoc", mw, x.transpose(0, 2, 1, 3),
-                           precision=precision).transpose(0, 2, 1, 3)
+    if h_in != h_out:
+        x = _lerp_axis(x, 1, h_in, h_out, align_corners)
+    if w_in != w_out:
+        x = _lerp_axis(x, 2, w_in, w_out, align_corners)
     return x[0] if squeeze else x
 
 

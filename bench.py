@@ -56,7 +56,11 @@ def find_batch_and_rate(engine, height, width, channels, candidates,
                         break
             force(out)
             dt = time.perf_counter() - t0
-            return batch, (batch * iters) / dt
+            # Output-frame accounting per BASELINE.md: a 2x clip emits one
+            # pass-through original per computed midpoint (plus one final
+            # frame), so output fps ~= 2 * computed-midpoint fps.
+            midpoints_per_sec = (batch * iters) / dt
+            return batch, 2.0 * midpoints_per_sec, midpoints_per_sec
         except Exception as e:  # OOM at this batch -> try smaller
             last_err = e
             continue
@@ -80,7 +84,7 @@ def main(argv=None):
 
     engine = InterpolationEngine.random_init(
         ModelConfig(channels=args.channels))
-    batch, fps = find_batch_and_rate(
+    batch, fps, mid_fps = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds)
 
@@ -91,7 +95,8 @@ def main(argv=None):
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_per_chip, 3),
         "detail": {"batch": batch, "height": args.height,
-                   "width": args.width, "channels": args.channels},
+                   "width": args.width, "channels": args.channels,
+                   "computed_midpoints_per_sec": round(mid_fps, 2)},
     }))
     return 0
 
