@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--dtype", default="bfloat16",
                         choices=("bfloat16", "float32"),
                         help="compute dtype on device")
+        sp.add_argument("--s2d", type=int, default=None, choices=(1, 2, 4),
+                        help="space-to-depth stem (1=reference parity; "
+                             "2/4=high-res speed variants; default: from "
+                             "checkpoint, else 1)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -46,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--height", type=int, default=256)
     t.add_argument("--width", type=int, default=256)
     t.add_argument("--channels", type=int, default=1, choices=(1, 3))
+    t.add_argument("--s2d", type=int, default=1, choices=(1, 2, 4),
+                   help="space-to-depth stem (1=reference parity)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
@@ -104,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
     n = sub.add_parser("info", help="model / checkpoint information")
     add_model_flags(n)
 
+    d = sub.add_parser("demo", help="generate fixtures and smoke-run every "
+                                    "component (reference demo_simple.py)")
+    d.add_argument("--output-dir", default="test_data")
+    d.add_argument("--size", type=int, default=128)
+
     return p
 
 
@@ -113,7 +124,10 @@ def _load_engine(args, allow_random: bool = False):
     from .infer.engine import InterpolationEngine
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = ModelConfig(channels=args.channels) if args.channels else None
+    cfg = None
+    if args.channels or getattr(args, "s2d", None):
+        cfg = ModelConfig(channels=args.channels or 1,
+                          space_to_depth=getattr(args, "s2d", None) or 1)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -166,7 +180,7 @@ def cmd_train(args) -> int:
     train_loader = TripletLoader(train_t, seed=args.seed + 1, **kw)
     val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False, **kw)
 
-    mcfg = ModelConfig(channels=args.channels)
+    mcfg = ModelConfig(channels=args.channels, space_to_depth=args.s2d)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)
@@ -335,11 +349,52 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """Fixture generation + component smoke run (capability of reference
+    ``demo_simple.py`` / ``test_basic.py``, but through the real APIs)."""
+    import numpy as np
+
+    from .config import ModelConfig
+    from .data.synthetic import write_fixture_tree, write_fixture_video
+    from .eval.harness import evaluate_model
+    from .eval.report import print_summary
+    from .infer.engine import InterpolationEngine
+
+    print("1) writing moving-circle fixtures")
+    dirs = write_fixture_tree(args.output_dir, num_videos=1, num_frames=5,
+                              height=args.size, width=args.size)
+    clip = write_fixture_video(
+        os.path.join(args.output_dir, "sample_clip.mp4"),
+        num_frames=8, height=args.size, width=args.size)
+    print(f"   {dirs[0]}/  and  {clip}")
+
+    print("2) building the model (random weights) + forward pass")
+    engine = InterpolationEngine.random_init(ModelConfig())
+    f = np.zeros((args.size, args.size, 1), np.uint8)
+    mid = engine.interpolate_pair(f, f)
+    print(f"   forward ok: {mid.shape} {mid.dtype}")
+
+    print("3) 3-method evaluation on the fixture")
+    results = evaluate_model(engine, test_dir=args.output_dir,
+                             height=args.size, width=args.size)
+    print_summary(results)
+
+    print("4) 2x video interpolation on the fixture clip")
+    out_clip = os.path.join(args.output_dir, "sample_clip_2x.mp4")
+    stats = engine.interpolate_video_file(clip, out_clip, factor=2,
+                                          batch_pairs=4)
+    print(f"   {stats['input_frames']} -> {stats['output_frames']} frames "
+          f"({out_clip})")
+    print("demo complete — train on real data with: fi-tpu train "
+          f"--data-dir {args.output_dir}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return {"train": cmd_train, "infer": cmd_infer, "video": cmd_video,
-                "eval": cmd_eval, "serve": cmd_serve,
+                "eval": cmd_eval, "serve": cmd_serve, "demo": cmd_demo,
                 "info": cmd_info}[args.command](args)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

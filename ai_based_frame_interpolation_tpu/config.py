@@ -36,14 +36,26 @@ class ModelConfig:
     depth: int = 4              # number of down/up levels (64 -> 64*2^depth)
     bilinear: bool = True       # bilinear decoder (True) vs transposed conv (False)
     time_conditioned: bool = False  # append a constant-t channel => arbitrary-time interpolation
+    # space-to-depth stem: losslessly rearrange r x r pixel blocks into
+    # channels so the whole U-Net runs at (H/r, W/r) with r^2 x channels.
+    # 1 = off (exact reference-architecture parity). 2 = the high-res speed
+    # variant: ~4x less HBM traffic per level — the 1080p path is
+    # bandwidth-bound (see CLAUDE.md perf notes).
+    space_to_depth: int = 1
 
     @property
     def in_channels(self) -> int:
-        return self.in_frames * self.channels + (1 if self.time_conditioned else 0)
+        r2 = self.space_to_depth ** 2
+        return (self.in_frames * self.channels * r2 +
+                (1 if self.time_conditioned else 0))
 
     @property
     def out_channels(self) -> int:
-        return self.channels
+        return self.channels * self.space_to_depth ** 2
+
+    @property
+    def pad_multiple(self) -> int:
+        return self.space_to_depth * 2 ** self.depth
 
 
 @dataclass(frozen=True)

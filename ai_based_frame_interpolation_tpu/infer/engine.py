@@ -148,9 +148,9 @@ class InterpolationEngine:
 
         def fn(variables, f1_u8, f2_u8):
             x1, hw = pad_to_multiple(normalize_uint8(f1_u8, self.compute_dtype),
-                                     2 ** self.cfg.depth)
+                                     self.cfg.pad_multiple)
             x2, _ = pad_to_multiple(normalize_uint8(f2_u8, self.compute_dtype),
-                                    2 ** self.cfg.depth)
+                                    self.cfg.pad_multiple)
             mids = _bisect(self._forward, variables, x1, x2, depth)
             if n_out == total:
                 picked = mids

@@ -34,6 +34,24 @@ from ..ops.resize import upsample2x_align_corners
 Dtype = Any
 
 
+def space_to_depth(x: jax.Array, r: int) -> jax.Array:
+    """[B,H,W,C] -> [B,H/r,W/r,C*r*r] lossless block rearrange."""
+    if r == 1:
+        return x
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x: jax.Array, r: int) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    if r == 1:
+        return x
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c // (r * r))
+
+
 class DoubleConv(nn.Module):
     """(3x3 conv, no bias -> BatchNorm -> ReLU) x 2.
 
@@ -180,6 +198,10 @@ class FrameInterpolationUNet(nn.Module):
     @nn.compact
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
                  t: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+        r = self.cfg.space_to_depth
+        if r > 1:
+            frame1 = space_to_depth(frame1, r)
+            frame2 = space_to_depth(frame2, r)
         x = jnp.concatenate([frame1, frame2], axis=-1)
         if self.cfg.time_conditioned:
             if t is None:
@@ -187,14 +209,15 @@ class FrameInterpolationUNet(nn.Module):
             tmap = jnp.broadcast_to(t[:, None, None, None],
                                     (*x.shape[:-1], 1)).astype(x.dtype)
             x = jnp.concatenate([x, tmap], axis=-1)
-        return UNet(in_channels=self.cfg.in_channels,
-                    out_channels=self.cfg.out_channels,
-                    base_width=self.cfg.base_width,
-                    depth=self.cfg.depth,
-                    bilinear=self.cfg.bilinear,
-                    compute_dtype=self.compute_dtype,
-                    folded=self.folded,
-                    name="unet")(x, train)
+        y = UNet(in_channels=self.cfg.in_channels,
+                 out_channels=self.cfg.out_channels,
+                 base_width=self.cfg.base_width,
+                 depth=self.cfg.depth,
+                 bilinear=self.cfg.bilinear,
+                 compute_dtype=self.compute_dtype,
+                 folded=self.folded,
+                 name="unet")(x, train)
+        return depth_to_space(y, r)
 
 
 def init_variables(model: FrameInterpolationUNet, rng: jax.Array,

@@ -48,7 +48,8 @@ def _depthwise_blur_1d(x: jax.Array, window: jax.Array, axis: int,
         kernel = jnp.tile(window.reshape(1, k, 1, 1), (1, 1, 1, c))
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)  # metric accuracy > speed
 
 
 def _blur(x: jax.Array, window: jax.Array, padding: str) -> jax.Array:

@@ -73,6 +73,10 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--channels", type=int, default=1,
                    help="1 = reference parity (grayscale); 3 = RGB flagship")
+    p.add_argument("--s2d", type=int, default=2,
+                   help="space-to-depth stem: 2 = the production high-res "
+                        "speed config (default); 1 = exact reference "
+                        "architecture")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--batches", type=int, nargs="+",
                    default=[16, 8, 4, 2, 1])
@@ -83,10 +87,22 @@ def main(argv=None):
         InterpolationEngine)
 
     engine = InterpolationEngine.random_init(
-        ModelConfig(channels=args.channels))
+        ModelConfig(channels=args.channels, space_to_depth=args.s2d))
     batch, fps, mid_fps = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds)
+
+    # also measure the exact-reference-architecture config for comparison
+    parity_fps = None
+    if args.s2d != 1:
+        try:
+            parity_engine = InterpolationEngine.random_init(
+                ModelConfig(channels=args.channels))
+            _, parity_fps, _ = find_batch_and_rate(
+                parity_engine, args.height, args.width, args.channels,
+                [4, 2, 1], min_seconds=args.seconds)
+        except Exception:
+            pass
 
     baseline_per_chip = 25.0     # >200 fps on v5e-8 => 25 fps/chip
     print(json.dumps({
@@ -96,7 +112,10 @@ def main(argv=None):
         "vs_baseline": round(fps / baseline_per_chip, 3),
         "detail": {"batch": batch, "height": args.height,
                    "width": args.width, "channels": args.channels,
-                   "computed_midpoints_per_sec": round(mid_fps, 2)},
+                   "space_to_depth": args.s2d,
+                   "computed_midpoints_per_sec": round(mid_fps, 2),
+                   "parity_architecture_fps": round(parity_fps, 2)
+                   if parity_fps else None},
     }))
     return 0
 

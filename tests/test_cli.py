@@ -34,7 +34,7 @@ def test_parser_has_all_subcommands():
     subs = next(a for a in p._actions
                 if isinstance(a, __import__("argparse")._SubParsersAction))
     assert set(subs.choices) == {"train", "infer", "video", "eval",
-                                 "serve", "info"}
+                                 "serve", "info", "demo"}
 
 
 def test_train_flags_honored():
@@ -135,3 +135,13 @@ def test_eval_command(tmp_path):
     assert os.path.exists(os.path.join(outdir, "report.md"))
     assert os.path.exists(os.path.join(outdir, "plots",
                                        "combined_comparison.png"))
+
+
+def test_demo_command(tmp_path, capsys):
+    out = str(tmp_path / "demo_data")
+    rc = main(["demo", "--output-dir", out, "--size", "48"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "demo complete" in text
+    assert os.path.exists(os.path.join(out, "sample_clip_2x.mp4"))
+    assert os.path.exists(os.path.join(out, "video_00", "frame_000.png"))
