@@ -42,6 +42,10 @@ class ModelConfig:
     # variant: ~4x less HBM traffic per level — the 1080p path is
     # bandwidth-bound (see CLAUDE.md perf notes).
     space_to_depth: int = 1
+    # predict the correction to the linear midpoint instead of the frame
+    # itself: out = (f1+f2)/2 + unet(...). Identity-at-init => much faster
+    # convergence on interpolation; off by default for reference parity.
+    residual: bool = False
 
     @property
     def in_channels(self) -> int:

@@ -164,7 +164,42 @@ class InterpolationEngine:
 
         return jax.jit(fn)
 
+    @functools.lru_cache(maxsize=8)
+    def _time_fn(self, n_t: int):
+        """Jitted arbitrary-time sampler: n_t frames at caller-chosen times.
+
+        Requires a ``time_conditioned`` model (capability superset: the
+        reference has no time conditioning at all — its 'multi frame' mode
+        repeats the midpoint, ``model/inference.py:124-149``)."""
+
+        def fn(variables, f1_u8, f2_u8, ts):
+            x1, hw = pad_to_multiple(normalize_uint8(f1_u8, self.compute_dtype),
+                                     self.cfg.pad_multiple)
+            x2, _ = pad_to_multiple(normalize_uint8(f2_u8, self.compute_dtype),
+                                    self.cfg.pad_multiple)
+            b = x1.shape[0]
+            outs = []
+            for i in range(n_t):
+                t = jnp.broadcast_to(ts[i], (b,)).astype(jnp.float32)
+                y = self.model.apply(variables, x1, x2, t=t, train=False)
+                outs.append(crop_to(y.astype(self.compute_dtype), hw))
+            return denormalize_to_uint8(jnp.stack(outs, axis=1))
+
+        return jax.jit(fn)
+
     # -- public API ---------------------------------------------------------
+
+    def interpolate_at(self, f1: np.ndarray, f2: np.ndarray,
+                       times: Sequence[float]) -> List[np.ndarray]:
+        """Frames at arbitrary times in (0, 1) — time-conditioned models only."""
+        if not self.cfg.time_conditioned:
+            raise ValueError(
+                "interpolate_at requires a time_conditioned model; "
+                "use generate_intermediate_frames (bisection) instead")
+        ts = jnp.asarray(list(times), jnp.float32)
+        out = self._time_fn(len(times))(self.variables, self._put(f1[None]),
+                                        self._put(f2[None]), ts)
+        return [np.asarray(out[0, i]) for i in range(len(times))]
 
     def interpolate_pair(self, f1: np.ndarray, f2: np.ndarray) -> np.ndarray:
         """Single midpoint between two HWC uint8 frames -> HWC uint8.

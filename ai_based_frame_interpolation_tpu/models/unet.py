@@ -217,6 +217,10 @@ class FrameInterpolationUNet(nn.Module):
                  compute_dtype=self.compute_dtype,
                  folded=self.folded,
                  name="unet")(x, train)
+        if self.cfg.residual:
+            # frame1/frame2 are already space-to-depth'd here; the linear
+            # midpoint commutes with the block rearrange
+            y = y + 0.5 * (frame1 + frame2).astype(y.dtype)
         return depth_to_space(y, r)
 
 

@@ -138,3 +138,22 @@ def test_linear_transition_frames():
     f2 = np.full((8, 8, 1), 200, np.uint8)
     frames = InterpolationEngine.linear_transition_frames(f1, f2, 3)
     assert [int(f.mean()) for f in frames] == [50, 100, 150]
+
+
+def test_interpolate_at_arbitrary_times(tiny_frames):
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+
+    f1, f2 = tiny_frames
+    eng = InterpolationEngine.random_init(
+        ModelConfig(base_width=4, time_conditioned=True), seed=1)
+    frames = eng.interpolate_at(f1, f2, [0.25, 0.5, 0.75])
+    assert len(frames) == 3
+    assert frames[0].shape == f1.shape and frames[0].dtype == np.uint8
+    # a time-conditioned model must produce time-dependent output
+    assert not np.array_equal(frames[0], frames[2])
+
+
+def test_interpolate_at_requires_time_conditioning(engine, tiny_frames):
+    f1, f2 = tiny_frames
+    with pytest.raises(ValueError):
+        engine.interpolate_at(f1, f2, [0.5])
