@@ -115,6 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output-dir", default="test_data")
     d.add_argument("--size", type=int, default=128)
 
+    c = sub.add_parser("convert", help="convert checkpoints between the "
+                                       "reference .pth format and orbax")
+    c.add_argument("--input", required=True, help=".pth file or orbax dir")
+    c.add_argument("--output", required=True, help="orbax dir or .pth file")
+    c.add_argument("--channels", type=int, default=1, choices=(1, 3))
+    c.add_argument("--bilinear", action="store_true", default=None)
+
     return p
 
 
@@ -390,11 +397,33 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from .train.checkpoint import (export_pth, import_pth, load_variables,
+                                   save_variables)
+
+    if args.input.endswith((".pth", ".pt")):
+        cfg = None   # inferred from the state dict (bilinear detection)
+        variables = import_pth(args.input, cfg)
+        inferred = ModelConfig(channels=args.channels)
+        save_variables(args.output, variables, inferred)
+        print(f"{args.input} (PyTorch) -> {args.output} (orbax)")
+    else:
+        variables, cfg = load_variables(args.input)
+        if not args.output.endswith((".pth", ".pt")):
+            raise SystemExit("error: output must be a .pth file when "
+                             "converting from orbax")
+        export_pth(args.output, variables, cfg)
+        print(f"{args.input} (orbax) -> {args.output} (PyTorch reference "
+              "format)")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     try:
         return {"train": cmd_train, "infer": cmd_infer, "video": cmd_video,
                 "eval": cmd_eval, "serve": cmd_serve, "demo": cmd_demo,
+                "convert": cmd_convert,
                 "info": cmd_info}[args.command](args)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -29,17 +29,20 @@ import numpy as np
 from ..data.triplets import Triplet, load_triplet_arrays, scan_triplets
 from ..infer.engine import InterpolationEngine
 from ..ops.flow import farneback_midpoint, linear_midpoint
+from ..ops.pallas.ssim_fused import ssim_eval_auto
 from ..ops.psnr import psnr as psnr_op
-from ..ops.ssim import ssim_eval
 
 METHODS = ("unet", "linear", "optical_flow")
 
-_metrics_jit = jax.jit(lambda pred, gt: (psnr_op(pred, gt), ssim_eval(pred, gt)))
+_psnr_jit = jax.jit(psnr_op)
 
 
 def _batched_metrics(preds: np.ndarray, gts: np.ndarray):
-    p, s = _metrics_jit(jnp.asarray(preds), jnp.asarray(gts))
-    return np.asarray(p), np.asarray(s)
+    pd = jnp.asarray(preds)
+    gd = jnp.asarray(gts)
+    # SSIM via the fused Pallas kernel when eligible (grayscale <= ~720p),
+    # XLA separable convs otherwise — identical numerics either way
+    return np.asarray(_psnr_jit(pd, gd)), np.asarray(ssim_eval_auto(pd, gd))
 
 
 def _aggregate(values: List[float]) -> Dict[str, float]:

@@ -211,3 +211,66 @@ def import_state_dict(sd: Dict[str, np.ndarray],
 
     return {"params": unflatten(flat_params),
             "batch_stats": unflatten(flat_stats)}
+
+
+# ---------------------------------------------------------------------------
+# Export to the reference's .pth key schema (the inverse of import_state_dict)
+# ---------------------------------------------------------------------------
+
+def export_state_dict(variables, cfg: Optional[ModelConfig] = None
+                      ) -> Dict[str, np.ndarray]:
+    """Flax variables -> reference-format state-dict arrays.
+
+    Inverse of :func:`import_state_dict` (HWIO->OIHW etc.), so weights
+    trained in this framework can run inside the PyTorch reference — that is
+    how the TPU-vs-reference SSIM delta is measured on shared weights.
+    Round-trip tested in ``tests/test_checkpoint_import.py``.
+    """
+    import jax
+
+    cfg = cfg or ModelConfig()
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_double_conv(prefix_t, p_node, s_node):
+        for idx, name in ((0, "conv1"), (3, "conv2")):
+            sd[f"{prefix_t}.{idx}.weight"] = np.transpose(
+                p_node[name]["kernel"], (3, 2, 0, 1))       # HWIO -> OIHW
+        for idx, name in ((1, "bn1"), (4, "bn2")):
+            sd[f"{prefix_t}.{idx}.weight"] = p_node[name]["scale"]
+            sd[f"{prefix_t}.{idx}.bias"] = p_node[name]["bias"]
+            sd[f"{prefix_t}.{idx}.running_mean"] = s_node[name]["mean"]
+            sd[f"{prefix_t}.{idx}.running_var"] = s_node[name]["var"]
+
+    unet_p = params["unet"]
+    unet_s = stats["unet"]
+    put_double_conv("unet.inc.double_conv", unet_p["inc"], unet_s["inc"])
+    for k in range(1, cfg.depth + 1):
+        put_double_conv(f"unet.down{k}.maxpool_conv.1.double_conv",
+                        unet_p[f"down{k}"]["conv"], unet_s[f"down{k}"]["conv"])
+        put_double_conv(f"unet.up{k}.conv.double_conv",
+                        unet_p[f"up{k}"]["conv"], unet_s[f"up{k}"]["conv"])
+        if not cfg.bilinear:
+            kern = unet_p[f"up{k}"]["up"]["kernel"]         # HWIO
+            sd[f"unet.up{k}.up.weight"] = np.ascontiguousarray(
+                np.transpose(kern, (2, 3, 0, 1))[:, :, ::-1, ::-1])
+            sd[f"unet.up{k}.up.bias"] = unet_p[f"up{k}"]["up"]["bias"]
+    sd["unet.outc.conv.weight"] = np.transpose(unet_p["outc"]["kernel"],
+                                               (3, 2, 0, 1))
+    sd["unet.outc.conv.bias"] = unet_p["outc"]["bias"]
+    return sd
+
+
+def export_pth(path: str, variables, cfg: Optional[ModelConfig] = None,
+               epoch: int = 0, train_loss: float = 0.0,
+               val_loss: float = 0.0) -> str:
+    """Write a reference-compatible ``best_model.pth`` checkpoint dict
+    (shape of reference ``model/train.py:232-244``)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_state_dict(variables, cfg).items()}
+    torch.save({"epoch": epoch, "model_state_dict": sd,
+                "train_loss": train_loss, "val_loss": val_loss}, path)
+    return path

@@ -21,7 +21,7 @@ import time
 
 
 def find_batch_and_rate(engine, height, width, channels, candidates,
-                        warmup_iters=2, min_seconds=5.0):
+                        warmup_iters=2, min_seconds=5.0, factor=2):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,7 +33,10 @@ def find_batch_and_rate(engine, height, width, channels, candidates,
             f1 = jnp.asarray(rng.integers(0, 255, (batch, height, width,
                                                    channels), np.uint8))
             f2 = jnp.asarray(rng.integers(0, 255, f1.shape, np.uint8))
-            fn = engine._pair_fn(1, 1)
+            import math
+
+            depth = int(math.log2(factor))
+            fn = engine._pair_fn(factor - 1, depth)
 
             def force(x):
                 # block_until_ready is a no-op on the axon tunnel platform;
@@ -56,11 +59,12 @@ def find_batch_and_rate(engine, height, width, channels, candidates,
                         break
             force(out)
             dt = time.perf_counter() - t0
-            # Output-frame accounting per BASELINE.md: a 2x clip emits one
-            # pass-through original per computed midpoint (plus one final
-            # frame), so output fps ~= 2 * computed-midpoint fps.
-            midpoints_per_sec = (batch * iters) / dt
-            return batch, 2.0 * midpoints_per_sec, midpoints_per_sec
+            # Output-frame accounting per BASELINE.md: an Nx clip emits
+            # factor output frames per input pair (factor-1 computed
+            # midpoints + 1 pass-through original).
+            pairs_per_sec = (batch * iters) / dt
+            return (batch, factor * pairs_per_sec,
+                    (factor - 1) * pairs_per_sec)
         except Exception as e:  # OOM at this batch -> try smaller
             last_err = e
             continue
@@ -77,6 +81,8 @@ def main(argv=None):
                    help="space-to-depth stem: 2 = the production high-res "
                         "speed config (default); 1 = exact reference "
                         "architecture")
+    p.add_argument("--factor", type=int, default=2,
+                   help="interpolation factor (power of two): 2 or 4")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--batches", type=int, nargs="+",
                    default=[16, 8, 4, 2, 1])
@@ -90,7 +96,7 @@ def main(argv=None):
         ModelConfig(channels=args.channels, space_to_depth=args.s2d))
     batch, fps, mid_fps = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
-        min_seconds=args.seconds)
+        min_seconds=args.seconds, factor=args.factor)
 
     # also measure the exact-reference-architecture config for comparison
     parity_fps = None
@@ -100,17 +106,18 @@ def main(argv=None):
                 ModelConfig(channels=args.channels))
             _, parity_fps, _ = find_batch_and_rate(
                 parity_engine, args.height, args.width, args.channels,
-                [4, 2, 1], min_seconds=args.seconds)
+                [4, 2, 1], min_seconds=args.seconds, factor=args.factor)
         except Exception:
             pass
 
     baseline_per_chip = 25.0     # >200 fps on v5e-8 => 25 fps/chip
     print(json.dumps({
-        "metric": "1080p output frames/sec/chip at 2x",
+        "metric": f"1080p output frames/sec/chip at {args.factor}x",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_per_chip, 3),
-        "detail": {"batch": batch, "height": args.height,
+        "detail": {"batch": batch, "factor": args.factor,
+                   "height": args.height,
                    "width": args.width, "channels": args.channels,
                    "space_to_depth": args.s2d,
                    "computed_midpoints_per_sec": round(mid_fps, 2),

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ai_based_frame_interpolation_tpu.config import ModelConfig
 from ai_based_frame_interpolation_tpu.models import FrameInterpolationUNet
 from ai_based_frame_interpolation_tpu.train.checkpoint import (
-    import_pth, import_state_dict)
+    import_pth, import_state_dict)  # noqa: F401  (more imported in-test)
 
 torch = pytest.importorskip("torch")
 
@@ -158,3 +158,39 @@ def test_import_pth_file_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         variables2["batch_stats"]["unet"]["inc"]["bn1"]["mean"],
         sd["unet.inc.double_conv.1.running_mean"])
+
+
+def test_export_import_roundtrip(rng):
+    from ai_based_frame_interpolation_tpu.train.checkpoint import (
+        export_state_dict, import_state_dict)
+
+    sd = random_state_dict(rng)
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    variables = import_state_dict(sd, ModelConfig())
+    back = export_state_dict(variables, ModelConfig())
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k], err_msg=k)
+
+
+def test_export_pth_loads_in_torch_oracle(rng, tmp_path):
+    # our exported .pth must drive the functional torch forward to the same
+    # output as our own model — the cross-framework parity loop closed
+    from ai_based_frame_interpolation_tpu.train.checkpoint import (
+        export_pth, import_pth)
+
+    sd = random_state_dict(rng)
+    sd = {k: v for k, v in sd.items() if not k.endswith("num_batches_tracked")}
+    variables = import_state_dict(sd, ModelConfig())
+    path = str(tmp_path / "exported.pth")
+    export_pth(path, variables, ModelConfig(), epoch=7)
+    loaded = torch.load(path, map_location="cpu", weights_only=False)
+    assert loaded["epoch"] == 7
+    f1 = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    f2 = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_orig = torch_functional_forward(sd, f1, f2)
+        out_exported = torch_functional_forward(
+            {k: v.numpy() for k, v in loaded["model_state_dict"].items()},
+            f1, f2)
+    np.testing.assert_allclose(out_exported, out_orig, atol=1e-6)

@@ -34,7 +34,7 @@ def test_parser_has_all_subcommands():
     subs = next(a for a in p._actions
                 if isinstance(a, __import__("argparse")._SubParsersAction))
     assert set(subs.choices) == {"train", "infer", "video", "eval",
-                                 "serve", "info", "demo"}
+                                 "serve", "info", "demo", "convert"}
 
 
 def test_train_flags_honored():
@@ -145,3 +145,29 @@ def test_demo_command(tmp_path, capsys):
     assert "demo complete" in text
     assert os.path.exists(os.path.join(out, "sample_clip_2x.mp4"))
     assert os.path.exists(os.path.join(out, "video_00", "frame_000.png"))
+
+
+def test_convert_roundtrip(tmp_path):
+    import torch
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "tci", os.path.join(os.path.dirname(__file__),
+                            "test_checkpoint_import.py"))
+    tci = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tci)
+
+    rng = np.random.default_rng(0)
+    sd = tci.random_state_dict(rng)
+    pth = str(tmp_path / "best_model.pth")
+    torch.save({"model_state_dict": {k: torch.from_numpy(np.asarray(v))
+                                     for k, v in sd.items()}}, pth)
+    orbax_dir = str(tmp_path / "ckpt")
+    assert main(["convert", "--input", pth, "--output", orbax_dir]) == 0
+    assert os.path.isdir(os.path.join(orbax_dir, "variables"))
+    back = str(tmp_path / "back.pth")
+    assert main(["convert", "--input", orbax_dir, "--output", back]) == 0
+    re = torch.load(back, map_location="cpu", weights_only=False)
+    np.testing.assert_allclose(
+        re["model_state_dict"]["unet.inc.double_conv.0.weight"].numpy(),
+        np.asarray(sd["unet.inc.double_conv.0.weight"]))
