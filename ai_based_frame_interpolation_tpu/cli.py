@@ -11,13 +11,11 @@ reference's ``frame-interpolation`` console script.
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 from typing import List, Optional
 
-from .config import (Config, DataConfig, ModelConfig, ServeConfig,
-                     TrainConfig, VideoConfig)
+from .config import ModelConfig, ServeConfig, TrainConfig
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -11,7 +11,7 @@ required) and can also write it to disk in the reference's directory layout
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

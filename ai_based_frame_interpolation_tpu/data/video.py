@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import threading
 import queue
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import numpy as np
 

@@ -22,7 +22,7 @@ trainable parameters, matching the reference's deployed model; the
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

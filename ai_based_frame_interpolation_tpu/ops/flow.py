@@ -11,8 +11,6 @@ small interface so the eval harness can treat all methods uniformly.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 FARNEBACK_PARAMS = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,

@@ -20,7 +20,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 WIN = 7
 _VMEM_IMAGE_LIMIT_BYTES = 1300 * 760  # whole-pair-in-VMEM cutoff (~720p gray)

@@ -22,7 +22,6 @@ surrounding elementwise algebra. Golden-tested against independent oracles in
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,16 +25,14 @@ exposes the same contract as an ASGI app.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import re
 import tempfile
 import threading
 import time
-import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import numpy as np
 
-from ..config import ModelConfig, TrainConfig
+from ..config import ModelConfig
 
 
 # ---------------------------------------------------------------------------

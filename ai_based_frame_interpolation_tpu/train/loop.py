@@ -32,14 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
-from ..config import Config, LossConfig, TrainConfig
+from ..config import LossConfig, TrainConfig
 from ..models.unet import FrameInterpolationUNet
 from ..ops.image import normalize_uint8
 from ..ops.psnr import psnr
 from ..ops.ssim import combined_loss, ssim_eval
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import make_mesh, replicated
 
 
 class TrainState(struct.PyTreeNode):
