@@ -154,6 +154,11 @@ class InterpolationService:
             "name": "ai-based-frame-interpolation-tpu",
             "endpoints": {
                 "POST /interpolate": "two images + num_intermediate + fps -> MP4",
+                "POST /interpolate-frames": "two images + num_intermediate -> "
+                                            "JSON of base64 PNG frames",
+                "POST /evaluate-interpolation": "three images (frame1, "
+                                                "ground_truth, frame2) -> "
+                                                "PSNR/SSIM of each method",
                 "GET /health": "liveness + engine status",
                 "GET /model-info": "model architecture and parameters",
                 "GET /": "this catalog",
@@ -209,6 +214,66 @@ class InterpolationService:
                 blob = f.read()
         self.requests_served += 1
         return blob, f"interpolated_frames_{num}inter_{fps}fps.mp4"
+
+    def interpolate_frames(self, parts: Dict[str, Part]) -> dict:
+        """PNG frames instead of a video (endpoint the reference README
+        promises but never implemented — ``README.md:130-139``)."""
+        import base64
+
+        import cv2
+
+        num = _int_field(parts, "num_intermediate", default=3)
+        if not 1 <= num <= self.cfg.max_intermediate:
+            raise HTTPError(400, f"num_intermediate must be in "
+                            f"[1, {self.cfg.max_intermediate}]")
+        d1 = validate_image_part(parts.get("frame1"), "frame1",
+                                 self.cfg.max_upload_bytes)
+        d2 = validate_image_part(parts.get("frame2"), "frame2",
+                                 self.cfg.max_upload_bytes)
+        grayscale = self.engine.cfg.channels == 1
+        f1 = decode_image_bytes(d1, grayscale, self.resolution)
+        f2 = decode_image_bytes(d2, grayscale, self.resolution)
+        with self._lock:
+            mids = self.engine.generate_intermediate_frames(f1, f2, num)
+
+        def b64png(img):
+            img2d = img[..., 0] if img.shape[-1] == 1 else img[..., ::-1]
+            ok, buf = cv2.imencode(".png", img2d)
+            return base64.b64encode(buf.tobytes()).decode()
+
+        self.requests_served += 1
+        return {"num_intermediate": num,
+                "frames": [b64png(m) for m in mids],
+                "encoding": "base64 PNG, time order"}
+
+    def evaluate_interpolation(self, parts: Dict[str, Part]) -> dict:
+        """Score every method against an uploaded ground-truth middle frame
+        (endpoint the reference README promises but never implemented)."""
+        from ..ops.flow import farneback_midpoint, linear_midpoint
+        from ..ops.pallas.ssim_fused import ssim_eval_auto
+        from ..ops.psnr import psnr
+
+        import jax.numpy as jnp
+
+        imgs = {}
+        for field in ("frame1", "ground_truth", "frame2"):
+            data = validate_image_part(parts.get(field), field,
+                                       self.cfg.max_upload_bytes)
+            imgs[field] = decode_image_bytes(
+                data, self.engine.cfg.channels == 1, self.resolution)
+        with self._lock:
+            preds = {"unet": self.engine.interpolate_pair(imgs["frame1"],
+                                                          imgs["frame2"])}
+        preds["linear"] = linear_midpoint(imgs["frame1"], imgs["frame2"])
+        preds["optical_flow"] = farneback_midpoint(imgs["frame1"],
+                                                   imgs["frame2"])
+        gt = imgs["ground_truth"]
+        out = {}
+        for m, p in preds.items():
+            out[m] = {"psnr": float(psnr(jnp.asarray(p), jnp.asarray(gt))),
+                      "ssim": float(ssim_eval_auto(p[None], gt[None])[0])}
+        self.requests_served += 1
+        return {"metrics_by_method": out}
 
 
 def _int_field(parts: Dict[str, Part], name: str, default: int) -> int:
@@ -270,18 +335,26 @@ def make_handler(service: InterpolationService):
             self.end_headers()
 
         def do_POST(self):
-            if self.path != "/interpolate":
+            routes = {"/interpolate", "/interpolate-frames",
+                      "/evaluate-interpolation"}
+            if self.path not in routes:
                 self._send_json({"detail": "not found"}, 404)
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                if length > service.cfg.max_upload_bytes * 2 + 65536:
+                if length > service.cfg.max_upload_bytes * 3 + 65536:
                     raise HTTPError(400, "request too large")
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if "multipart/form-data" not in ctype:
                     raise HTTPError(400, "expected multipart/form-data")
                 parts = parse_multipart(body, ctype)
+                if self.path == "/interpolate-frames":
+                    self._send_json(service.interpolate_frames(parts))
+                    return
+                if self.path == "/evaluate-interpolation":
+                    self._send_json(service.evaluate_interpolation(parts))
+                    return
                 blob, fname = service.interpolate(parts)
             except HTTPError as e:
                 self._send_json({"detail": e.detail}, e.status)

@@ -199,3 +199,52 @@ def test_validate_size_cap():
     with pytest.raises(HTTPError) as e:
         validate_image_part(part, "frame1", max_bytes=10)
     assert "limit" in e.value.detail
+
+
+def test_interpolate_frames_endpoint(server):
+    import base64
+
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png(value=40)),
+        "frame2": ("b.png", "image/png", encode_png(value=220)),
+        "num_intermediate": 2})
+    status, _, blob = request(server, "/interpolate-frames", "POST", body,
+                              ctype)
+    assert status == 200, blob
+    data = json.loads(blob)
+    assert len(data["frames"]) == 2
+    import cv2
+
+    png = base64.b64decode(data["frames"][0])
+    img = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_GRAYSCALE)
+    assert img.shape == (64, 64)
+
+
+def test_evaluate_interpolation_endpoint(server):
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png(value=40)),
+        "ground_truth": ("g.png", "image/png", encode_png(value=130)),
+        "frame2": ("b.png", "image/png", encode_png(value=220))})
+    status, _, blob = request(server, "/evaluate-interpolation", "POST",
+                              body, ctype)
+    assert status == 200, blob
+    metrics = json.loads(blob)["metrics_by_method"]
+    assert set(metrics) == {"unet", "linear", "optical_flow"}
+    # linear blend of 40 and 220 IS the 130 ground truth, so near-perfect
+    assert metrics["linear"]["psnr"] > 40
+
+
+def test_concurrent_interpolate_requests(server):
+    import concurrent.futures
+
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png(value=10)),
+        "frame2": ("b.png", "image/png", encode_png(value=200)),
+        "num_intermediate": 1, "fps": 30})
+
+    def one(_):
+        return request(server, "/interpolate", "POST", body, ctype)[0]
+
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        codes = list(pool.map(one, range(4)))
+    assert codes == [200] * 4
