@@ -99,8 +99,13 @@ def evaluate_model(engine: Optional[InterpolationEngine],
         if "linear" in methods:
             preds["linear"] = linear_midpoint(f0b, f1b)
         if "optical_flow" in methods:
-            preds["optical_flow"] = np.stack(
-                [farneback_midpoint(a, b) for a, b in zip(f0s, f1s)])
+            # cv2 releases the GIL inside Farneback: thread the host baseline
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(4, len(f0s))) as pool:
+                preds["optical_flow"] = np.stack(
+                    list(pool.map(lambda ab: farneback_midpoint(*ab),
+                                  zip(f0s, f1s))))
 
         for m, pred in preds.items():
             ps, ss = _batched_metrics(pred, gtb)
