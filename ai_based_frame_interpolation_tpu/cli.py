@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="space-to-depth stem (1=reference parity; "
                              "2/4=high-res speed variants; default: from "
                              "checkpoint, else 1)")
+        sp.add_argument("--refine-width", type=int, default=None,
+                        help="full-res refinement head width for s2d models "
+                             "(recommended: 16)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -50,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--channels", type=int, default=1, choices=(1, 3))
     t.add_argument("--s2d", type=int, default=1, choices=(1, 2, 4),
                    help="space-to-depth stem (1=reference parity)")
+    t.add_argument("--residual", action="store_true",
+                   help="predict the correction to the linear midpoint "
+                        "(faster convergence; changes the learned function)")
+    t.add_argument("--refine-width", type=int, default=0,
+                   help="full-res refinement head width for s2d models")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
@@ -130,9 +138,11 @@ def _load_engine(args, allow_random: bool = False):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cfg = None
-    if args.channels or getattr(args, "s2d", None):
+    if args.channels or getattr(args, "s2d", None) or \
+            getattr(args, "refine_width", None):
         cfg = ModelConfig(channels=args.channels or 1,
-                          space_to_depth=getattr(args, "s2d", None) or 1)
+                          space_to_depth=getattr(args, "s2d", None) or 1,
+                          refine_width=getattr(args, "refine_width", None) or 0)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -185,7 +195,9 @@ def cmd_train(args) -> int:
     train_loader = TripletLoader(train_t, seed=args.seed + 1, **kw)
     val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False, **kw)
 
-    mcfg = ModelConfig(channels=args.channels, space_to_depth=args.s2d)
+    mcfg = ModelConfig(channels=args.channels, space_to_depth=args.s2d,
+                       residual=args.residual,
+                       refine_width=args.refine_width)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)
@@ -299,7 +311,10 @@ def cmd_serve(args) -> int:
         print("warmup: compiling the serving path...", flush=True)
         dt = warmup(engine, (args.height, args.width))
         print(f"warmup done in {dt:.1f}s")
-    server = Server(engine, cfg, resolution=(args.height, args.width))
+    try:
+        server = Server(engine, cfg, resolution=(args.height, args.width))
+    except OSError as e:
+        raise SystemExit(f"error: cannot bind {args.host}:{args.port} ({e})")
     print(f"serving on http://{args.host}:{server.port}  "
           "(POST /interpolate, GET /, /health, /model-info)")
     try:

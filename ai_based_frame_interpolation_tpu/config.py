@@ -46,6 +46,10 @@ class ModelConfig:
     # itself: out = (f1+f2)/2 + unet(...). Identity-at-init => much faster
     # convergence on interpolation; off by default for reference parity.
     residual: bool = False
+    # width of the full-resolution refinement head appended after the
+    # space-to-depth U-Net (0 = off). Recovers the sub-pixel detail the
+    # s2d output head loses, at a tiny fraction of full-res U-Net cost.
+    refine_width: int = 0
 
     @property
     def in_channels(self) -> int:

@@ -221,7 +221,25 @@ class FrameInterpolationUNet(nn.Module):
             # frame1/frame2 are already space-to-depth'd here; the linear
             # midpoint commutes with the block rearrange
             y = y + 0.5 * (frame1 + frame2).astype(y.dtype)
-        return depth_to_space(y, r)
+        y = depth_to_space(y, r)
+        if self.cfg.refine_width > 0 and r > 1:
+            # light full-res refinement: the s2d U-Net's output head emits
+            # r*r sub-pixels from one coarse feature vector, which blurs
+            # fine detail; two thin full-res convs over (prediction + both
+            # source frames) add it back for a few % of full-res U-Net cost
+            w = self.cfg.refine_width
+            cdt = self.compute_dtype
+            z = jnp.concatenate(
+                [y.astype(cdt), depth_to_space(frame1, r).astype(cdt),
+                 depth_to_space(frame2, r).astype(cdt)], axis=-1)
+            z = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
+                                name="refine1")(z))
+            z = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
+                                name="refine2")(z))
+            delta = nn.Conv(self.cfg.channels, (1, 1), dtype=jnp.float32,
+                            name="refine_out")(z.astype(jnp.float32))
+            y = y + delta
+        return y
 
 
 def init_variables(model: FrameInterpolationUNet, rng: jax.Array,

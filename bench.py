@@ -81,6 +81,9 @@ def main(argv=None):
                    help="space-to-depth stem: 2 = the production high-res "
                         "speed config (default); 1 = exact reference "
                         "architecture")
+    p.add_argument("--refine-width", type=int, default=16,
+                   help="full-res refinement head width (production "
+                        "default 16; only applies when --s2d > 1)")
     p.add_argument("--factor", type=int, default=2,
                    help="interpolation factor (power of two): 2 or 4")
     p.add_argument("--seconds", type=float, default=5.0)
@@ -93,7 +96,8 @@ def main(argv=None):
         InterpolationEngine)
 
     engine = InterpolationEngine.random_init(
-        ModelConfig(channels=args.channels, space_to_depth=args.s2d))
+        ModelConfig(channels=args.channels, space_to_depth=args.s2d,
+                    refine_width=args.refine_width if args.s2d > 1 else 0))
     batch, fps, mid_fps = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds, factor=args.factor)
@@ -120,6 +124,7 @@ def main(argv=None):
                    "height": args.height,
                    "width": args.width, "channels": args.channels,
                    "space_to_depth": args.s2d,
+                   "refine_width": args.refine_width if args.s2d > 1 else 0,
                    "computed_midpoints_per_sec": round(mid_fps, 2),
                    "parity_architecture_fps": round(parity_fps, 2)
                    if parity_fps else None},
