@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--refine-width", type=int, default=None,
                         help="full-res refinement head width for s2d models "
                              "(recommended: 16)")
+        sp.add_argument("--arch", default=None, choices=("unet", "tower"),
+                        help="model family (default: from checkpoint, else "
+                             "unet = reference parity)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -53,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--channels", type=int, default=1, choices=(1, 3))
     t.add_argument("--s2d", type=int, default=1, choices=(1, 2, 4),
                    help="space-to-depth stem (1=reference parity)")
+    t.add_argument("--arch", default="unet", choices=("unet", "tower"),
+                   help="model family: unet (reference parity) | tower "
+                        "(siamese encoder; video streams reuse per-frame "
+                        "features)")
     t.add_argument("--residual", action="store_true",
                    help="predict the correction to the linear midpoint "
                         "(faster convergence; changes the learned function)")
@@ -139,8 +146,9 @@ def _load_engine(args, allow_random: bool = False):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cfg = None
     if args.channels or getattr(args, "s2d", None) or \
-            getattr(args, "refine_width", None):
-        cfg = ModelConfig(channels=args.channels or 1,
+            getattr(args, "refine_width", None) or getattr(args, "arch", None):
+        cfg = ModelConfig(arch=getattr(args, "arch", None) or "unet",
+                          channels=args.channels or 1,
                           space_to_depth=getattr(args, "s2d", None) or 1,
                           refine_width=getattr(args, "refine_width", None) or 0)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
@@ -164,7 +172,8 @@ def cmd_train(args) -> int:
 
     from .data.loader import TripletLoader
     from .data.triplets import scan_triplets, split_triplets
-    from .models.unet import FrameInterpolationUNet, count_parameters
+    from .models import build_model
+    from .models.unet import count_parameters
     from .parallel.mesh import make_mesh, maybe_init_distributed
     from .train.checkpoint import Checkpointer, save_variables
     from .train.loop import History, create_train_state, train_model
@@ -195,13 +204,13 @@ def cmd_train(args) -> int:
     train_loader = TripletLoader(train_t, seed=args.seed + 1, **kw)
     val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False, **kw)
 
-    mcfg = ModelConfig(channels=args.channels, space_to_depth=args.s2d,
-                       residual=args.residual,
+    mcfg = ModelConfig(arch=args.arch, channels=args.channels,
+                       space_to_depth=args.s2d, residual=args.residual,
                        refine_width=args.refine_width)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)
-    model = FrameInterpolationUNet(cfg=mcfg)
+    model = build_model(mcfg)
     c = mcfg.channels
     f = jnp.zeros((1, args.height, args.width, c), jnp.float32)
     variables = jax.jit(lambda a, b: model.init(

@@ -30,6 +30,9 @@ class ModelConfig:
     ``README.md:180-182``) is ``channels=3``.
     """
 
+    arch: str = "unet"          # "unet" (reference parity) | "tower" (siamese
+                                # encoder + fusion decoder; per-frame feature
+                                # reuse in video streams)
     channels: int = 1           # channels per frame: 1 = grayscale parity, 3 = RGB
     in_frames: int = 2          # frames concatenated on the channel axis
     base_width: int = 64        # width of the first encoder stage

@@ -62,12 +62,11 @@ class InterpolationEngine:
                  compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None):
         if (fold and isinstance(variables, dict)
                 and variables.get("batch_stats")):
+            from ..models import build_model
             from ..models.unet import fold_batchnorm
 
             variables = fold_batchnorm(variables)
-            model = FrameInterpolationUNet(cfg=model.cfg,
-                                           compute_dtype=compute_dtype,
-                                           folded=True)
+            model = build_model(model.cfg, compute_dtype, folded=True)
         self.model = model
         self.cfg: ModelConfig = model.cfg
         self.compute_dtype = compute_dtype
@@ -113,8 +112,9 @@ class InterpolationEngine:
                 raise FileNotFoundError(
                     f"no checkpoint at {path} (expected .pth file or an "
                     f"orbax dir with variables/)")
-        model = FrameInterpolationUNet(cfg=cfg or ModelConfig(),
-                                       compute_dtype=compute_dtype)
+        from ..models import build_model
+
+        model = build_model(cfg or ModelConfig(), compute_dtype)
         return cls(model, variables, compute_dtype, fold=fold)
 
     @classmethod
@@ -122,8 +122,10 @@ class InterpolationEngine:
                     compute_dtype=jnp.bfloat16,
                     fold: bool = True) -> "InterpolationEngine":
         """Engine with random weights (plumbing tests / demos)."""
+        from ..models import build_model
+
         cfg = cfg or ModelConfig()
-        model = FrameInterpolationUNet(cfg=cfg, compute_dtype=compute_dtype)
+        model = build_model(cfg, compute_dtype)
         c = cfg.channels
         f = jnp.zeros((1, 64, 64, c), jnp.float32)
         variables = jax.jit(lambda a, b: model.init(
@@ -163,6 +165,69 @@ class InterpolationEngine:
             return denormalize_to_uint8(out)
 
         return jax.jit(fn)
+
+    @functools.lru_cache(maxsize=4)
+    def _tower_stream_fn(self):
+        """Jitted tower-stream step: [K,H,W,C] u8 frames -> [K-1,H,W,C] u8
+        midpoints with each frame encoded exactly ONCE (the pyramids for
+        pairs (i,i+1) are slices of one batched encode). Only possible with
+        the tower family — the concat-input U-Net can't separate per-frame
+        work (models/tower.py)."""
+
+        def fn(variables, frames_u8):
+            x, hw = pad_to_multiple(
+                normalize_uint8(frames_u8, self.compute_dtype),
+                self.cfg.pad_multiple)
+            feats = self.model.apply(variables, x, train=False,
+                                     method="encode")
+            f1s = [f[:-1] for f in feats]
+            f2s = [f[1:] for f in feats]
+            y = self.model.apply(variables, f1s, f2s, x[:-1], x[1:],
+                                 train=False, method="decode")
+            return denormalize_to_uint8(crop_to(y.astype(self.compute_dtype),
+                                                hw))
+
+        return jax.jit(fn)
+
+    def _tower_video_frames(self, frames, batch_pairs: int):
+        """2x stream for tower models: chunked batched encode, shared-frame
+        feature reuse, double-buffered like the generic path."""
+        from ..ops import native
+
+        fn = self._tower_stream_fn()
+        chunk_size = batch_pairs + 1
+
+        def dispatch(chunk: List[np.ndarray]):
+            stacked = np.stack(chunk)
+            return stacked, fn(self.variables, self._put(stacked))
+
+        def emit(batch, final: bool):
+            originals, device_out = batch
+            mids = np.asarray(device_out)[:, None]     # [P, 1, H, W, C]
+            stream = native.interleave(originals, mids)
+            end = len(stream) if final else len(stream) - 1
+            for i in range(end):
+                yield stream[i]
+
+        chunk: List[np.ndarray] = []
+        in_flight = None
+        for frame in frames:
+            chunk.append(np.asarray(frame))
+            if len(chunk) == chunk_size:
+                batch = dispatch(chunk)
+                chunk = [chunk[-1]]        # boundary frame opens next chunk
+                if in_flight is not None:
+                    yield from emit(in_flight, final=False)
+                in_flight = batch
+        if len(chunk) >= 2:
+            batch = dispatch(chunk)
+            if in_flight is not None:
+                yield from emit(in_flight, final=False)
+            in_flight = batch
+        if in_flight is not None:
+            yield from emit(in_flight, final=True)
+        elif chunk:
+            yield chunk[0]                 # single-frame input passthrough
 
     @functools.lru_cache(maxsize=8)
     def _time_fn(self, n_t: int):
@@ -239,6 +304,10 @@ class InterpolationEngine:
         """
         if factor < 2 or (factor & (factor - 1)):
             raise ValueError("factor must be a power of two >= 2")
+        if getattr(self.cfg, "arch", "unet") == "tower" and factor == 2:
+            # tower family: per-frame feature reuse across adjacent pairs
+            yield from self._tower_video_frames(frames, batch_pairs)
+            return
         depth = int(math.log2(factor))
         fn = self._pair_fn(factor - 1, depth)
 
