@@ -146,7 +146,11 @@ class ServeConfig:
     model_path: str = "checkpoints"
     max_upload_bytes: int = 50 * 1024 * 1024   # 50 MB cap, api/app.py:36
     max_intermediate: int = 10                 # 1..10, api/app.py:140-141
-    request_timeout_s: float = 300.0           # api/app.py:100
+    # kept for reference-config compatibility: the reference needed a hard
+    # 300 s subprocess timeout because every request re-imported torch and
+    # reloaded the checkpoint (api/app.py:100); the warm in-process engine
+    # answers in milliseconds after warmup, so nothing enforces this.
+    request_timeout_s: float = 300.0
 
 
 @dataclass(frozen=True)
