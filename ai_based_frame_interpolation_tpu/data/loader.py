@@ -65,9 +65,25 @@ class TripletLoader:
     def _load_batch(self, idxs: np.ndarray) -> dict:
         f0s, f1s, gts = [], [], []
         for i in idxs:
-            f0, f1, gt = load_triplet_arrays(
-                self.triplets[i], self.height, self.width, self.grayscale)
+            try:
+                f0, f1, gt = load_triplet_arrays(
+                    self.triplets[i], self.height, self.width, self.grayscale)
+            except Exception as e:
+                # one corrupt file must not kill an epoch (same isolation
+                # policy as the eval harness); keep the batch shape static
+                # by repeating the previous good item when possible
+                import sys
+
+                print(f"warning: skipping triplet "
+                      f"{self.triplets[i].paths()[0]}: {e}", file=sys.stderr)
+                if not f0s:
+                    continue
+                f0, f1, gt = f0s[-1], f1s[-1], gts[-1]
             f0s.append(f0); f1s.append(f1); gts.append(gt)
+        if not f0s:
+            raise IOError("every triplet in the batch failed to decode")
+        while len(f0s) < len(idxs):   # keep the batch shape static for jit
+            f0s.append(f0s[-1]); f1s.append(f1s[-1]); gts.append(gts[-1])
         batch = {"f0": np.stack(f0s), "f1": np.stack(f1s), "gt": np.stack(gts)}
         if self._sharding is not None:
             batch = {k: jax.device_put(v, self._sharding)

@@ -112,7 +112,8 @@ def evaluate_model(engine: Optional[InterpolationEngine],
             for i, t in enumerate(metas):
                 results_by_method[m].append({
                     "video_name": t.video_name, "triplet_id": t.triplet_id,
-                    "video_dir": t.video_dir,
+                    "video_dir": t.video_dir, "frame_t0": t.frame_t0,
+                    "frame_t1": t.frame_t1, "ground_truth": t.ground_truth,
                     "psnr": float(ps[i]), "ssim": float(ss[i])})
             if save_frames_dir:
                 mdir = os.path.join(save_frames_dir, m)

@@ -304,24 +304,20 @@ def save_frame_comparisons(results: dict, engine, out_dir: str,
     written = []
     for name in which:
         r = picks[name]
+        # result records carry the actual filenames (harness.py), so any
+        # frame naming scheme works here
         t = Triplet(video_dir=r["video_dir"], video_name=r["video_name"],
                     triplet_id=r["triplet_id"],
-                    frame_t0=f"frame_{r['triplet_id']:03d}.png",
-                    frame_t1=f"frame_{r['triplet_id'] + 2:03d}.png",
-                    ground_truth=f"frame_{r['triplet_id'] + 1:03d}.png")
+                    frame_t0=r.get("frame_t0",
+                                   f"frame_{r['triplet_id']:03d}.png"),
+                    frame_t1=r.get("frame_t1",
+                                   f"frame_{r['triplet_id'] + 2:03d}.png"),
+                    ground_truth=r.get("ground_truth",
+                                       f"frame_{r['triplet_id'] + 1:03d}.png"))
         try:
             f0, f1, gt = load_triplet_arrays(t, height, width, grayscale)
         except Exception:
-            # fixture layouts other than frame_XXX.png: rescan the dir
-            from ..data.triplets import scan_triplets
-
-            cands = [x for x in scan_triplets(os.path.dirname(t.video_dir))
-                     if x.video_name == t.video_name and
-                     x.triplet_id == t.triplet_id]
-            if not cands:
-                continue
-            f0, f1, gt = load_triplet_arrays(cands[0], height, width,
-                                             grayscale)
+            continue
         panels = [("frame t", f0), ("frame t+2", f1),
                   ("U-Net", engine.interpolate_pair(f0, f1)),
                   ("linear", linear_midpoint(f0, f1)),

@@ -123,3 +123,22 @@ def test_grayscale_video_reader(tmp_path):
             w.write(f)
     frames = list(VideoReader(path, grayscale=True))
     assert frames[0].shape == (48, 48, 1)
+
+
+def test_loader_isolates_corrupt_files(tmp_path):
+    import cv2
+
+    from ai_based_frame_interpolation_tpu.data.synthetic import \
+        moving_circle_frames
+
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    frames = moving_circle_frames(6, 32, 32)
+    for i, f in enumerate(frames):
+        cv2.imwrite(str(vdir / f"frame_{i:03d}.png"), f[..., 0])
+    (vdir / "frame_002.png").write_bytes(b"not a png")   # corrupt one frame
+    triplets = scan_triplets(str(tmp_path))
+    loader = TripletLoader(triplets, batch_size=4, height=32, width=32,
+                           shuffle=False, num_workers=1)
+    batches = list(loader)                # must not raise
+    assert batches and batches[0]["f0"].shape == (4, 32, 32, 1)
