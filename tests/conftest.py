@@ -34,3 +34,30 @@ def tiny_frames(rng):
     f1 = (127 + 80 * np.sin(x / 7.0) * np.cos(y / 5.0)).astype(np.uint8)[..., None]
     f2 = np.roll(f1, 6, axis=1)
     return f1, f2
+
+
+def pytest_runtest_protocol(item, nextitem):
+    """Retry a test ONCE when it fails on a transient TPU remote-compile
+    hiccup (the tunnel's compile helper sporadically 500s under load —
+    CLAUDE.md gotchas). Real failures reproduce and still fail."""
+    from _pytest.runner import runtestprotocol
+
+    item.ihook.pytest_runtest_logstart(nodeid=item.nodeid,
+                                       location=item.location)
+    reports = runtestprotocol(item, nextitem=nextitem, log=False)
+
+    def transient(r):
+        text = str(getattr(r, "longrepr", ""))
+        return r.failed and ("remote_compile" in text or
+                             "tpu_compile_helper" in text)
+
+    if any(transient(r) for r in reports):
+        import time
+
+        time.sleep(5)
+        reports = runtestprotocol(item, nextitem=nextitem, log=False)
+    for r in reports:
+        item.ihook.pytest_runtest_logreport(report=r)
+    item.ihook.pytest_runtest_logfinish(nodeid=item.nodeid,
+                                        location=item.location)
+    return True
