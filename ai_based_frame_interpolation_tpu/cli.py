@@ -128,6 +128,17 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--output-dir", default="test_data")
     d.add_argument("--size", type=int, default=128)
 
+    ds = sub.add_parser("dataset", help="generate a procedural training "
+                                        "dataset (textured panning scenes "
+                                        "with multiple moving sprites)")
+    ds.add_argument("--output-dir", default="data/train")
+    ds.add_argument("--videos", type=int, default=64)
+    ds.add_argument("--frames", type=int, default=16)
+    ds.add_argument("--size", type=int, default=256)
+    ds.add_argument("--channels", type=int, default=1, choices=(1, 3))
+    ds.add_argument("--sprites", type=int, default=4)
+    ds.add_argument("--seed", type=int, default=0)
+
     c = sub.add_parser("convert", help="convert checkpoints between the "
                                        "reference .pth format and orbax")
     c.add_argument("--input", required=True, help=".pth file or orbax dir")
@@ -419,6 +430,25 @@ def cmd_demo(args) -> int:
     return 0
 
 
+def cmd_dataset(args) -> int:
+    """Generate a procedural training dataset: textured panning backgrounds
+    with multiple anti-aliased moving sprites (linear motion, so the triplet
+    midpoint contract holds). A training-scale substitute for real footage
+    — much more diverse than the reference's single moving-circle demo clip
+    (``demo_simple.py:17-40``)."""
+    from .data.synthetic import write_scene_tree
+
+    dirs = write_scene_tree(args.output_dir, num_videos=args.videos,
+                            num_frames=args.frames, height=args.size,
+                            width=args.size, channels=args.channels,
+                            num_sprites=args.sprites, seed=args.seed)
+    n_triplets = args.videos * max(0, args.frames - 2)
+    print(f"wrote {len(dirs)} clips x {args.frames} frames "
+          f"({n_triplets} triplets) to {args.output_dir}")
+    print(f"train with: fi-tpu train --data-dir {args.output_dir}")
+    return 0
+
+
 def cmd_convert(args) -> int:
     from .train.checkpoint import (export_pth, import_pth, load_variables,
                                    save_variables)
@@ -445,7 +475,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     try:
         return {"train": cmd_train, "infer": cmd_infer, "video": cmd_video,
                 "eval": cmd_eval, "serve": cmd_serve, "demo": cmd_demo,
-                "convert": cmd_convert,
+                "convert": cmd_convert, "dataset": cmd_dataset,
                 "info": cmd_info}[args.command](args)
     except (FileNotFoundError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

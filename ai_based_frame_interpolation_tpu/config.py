@@ -53,6 +53,12 @@ class ModelConfig:
     # space-to-depth U-Net (0 = off). Recovers the sub-pixel detail the
     # s2d output head loses, at a tiny fraction of full-res U-Net cost.
     refine_width: int = 0
+    # tower family only: project each fused (concatenated) skip back to
+    # encoder width with a 1x1 conv before the decoder consumes it. The
+    # plain concat doubles every decoder width — at high resolution the
+    # decoder is bandwidth-bound, so halving its widths roughly halves its
+    # HBM traffic; the 1x1 projections are MXU-cheap.
+    slim_decoder: bool = False
 
     @property
     def in_channels(self) -> int:

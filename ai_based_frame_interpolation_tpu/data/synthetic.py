@@ -58,6 +58,110 @@ def write_fixture_tree(root: str, num_videos: int = 1, num_frames: int = 5,
     return dirs
 
 
+def moving_scene_frames(num_frames: int = 16, height: int = 256,
+                        width: int = 256, channels: int = 1,
+                        num_sprites: int = 4, max_speed: float = 6.0,
+                        noise: float = 4.0, seed: int = 0) -> np.ndarray:
+    """[T, H, W, C] uint8 frames of a procedurally rich scene.
+
+    The moving-circle fixture (reference ``demo_simple.py:17-40``) has one
+    motion vector and a flat background — a model can ace it without learning
+    general interpolation. This generator produces diverse, still fully
+    deterministic scenes for meaningful training:
+
+    - a band-limited **textured background** that pans with a global
+      sub-pixel velocity (camera motion),
+    - ``num_sprites`` anti-aliased sprites (discs / soft gaussian blobs /
+      rounded rectangles) with independent velocities, sizes, intensities
+      and optional size change over time (approach/recede motion),
+    - a gentle global brightness ramp (photometric variation),
+    - additive sensor noise.
+
+    All motion is linear in time, so the ground-truth midpoint of frames
+    (t, t+2) is genuinely frame t+1 — the dataset contract of the triplet
+    loader (reference ``model/train.py:96-118``).
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    c = 3 if channels == 3 else 1
+
+    # --- background: low-frequency noise canvas, panned by a global velocity
+    pan_v = rng.uniform(-max_speed / 2, max_speed / 2, size=2)
+    pad = int(np.ceil(max_speed / 2 * (num_frames + 1))) + 4
+    ch_, cw_ = height + 2 * pad, width + 2 * pad
+    grid = rng.uniform(30, 170, size=(ch_ // 32 + 2, cw_ // 32 + 2, c))
+    canvas = cv2.resize(grid.astype(np.float32), (cw_, ch_),
+                        interpolation=cv2.INTER_CUBIC)
+    if c == 1 and canvas.ndim == 2:
+        canvas = canvas[..., None]
+
+    # --- sprites: kind, start position, velocity, size, size velocity, color
+    sprites = []
+    for _ in range(num_sprites):
+        sprites.append({
+            "kind": rng.choice(["disc", "blob", "rect"]),
+            "p0": rng.uniform([0, 0], [height, width]),
+            "v": rng.uniform(-max_speed, max_speed, size=2),
+            "r0": rng.uniform(5.0, max(6.0, min(height, width) / 5)),
+            "rv": rng.uniform(-0.5, 0.5),
+            "color": rng.uniform(60, 255, size=c),
+        })
+    ramp = rng.uniform(-0.3, 0.3)  # total brightness change over the clip
+
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    frames = []
+    for t in range(num_frames):
+        # panned background crop (sub-pixel via affine warp)
+        oy, ox = pad + pan_v[0] * t, pad + pan_v[1] * t
+        m = np.float32([[1, 0, -ox], [0, 1, -oy]])
+        img = cv2.warpAffine(canvas, m, (width, height),
+                             flags=cv2.INTER_LINEAR)
+        if c == 1 and img.ndim == 2:
+            img = img[..., None]
+        img = img.copy()
+
+        for s in sprites:
+            cy, cx = s["p0"] + s["v"] * t
+            r = max(3.0, s["r0"] + s["rv"] * t)
+            d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            if s["kind"] == "disc":
+                alpha = np.clip(r - d, 0.0, 1.0)          # 1-px AA edge
+            elif s["kind"] == "blob":
+                alpha = np.exp(-0.5 * (d / (r / 2)) ** 2)
+            else:  # rounded rect: L-inf distance with the same AA edge
+                dd = np.maximum(np.abs(yy - cy), np.abs(xx - cx))
+                alpha = np.clip(r - dd, 0.0, 1.0)
+            img = img * (1 - alpha[..., None]) + s["color"] * alpha[..., None]
+
+        gain = 1.0 + ramp * (t / max(1, num_frames - 1))
+        img = img * gain + rng.uniform(-noise, noise, img.shape)
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+    return np.stack(frames)
+
+
+def write_scene_tree(root: str, num_videos: int = 8, num_frames: int = 16,
+                     height: int = 256, width: int = 256,
+                     channels: int = 1, seed: int = 0,
+                     num_sprites: int = 4) -> List[str]:
+    """Write a training-scale tree of :func:`moving_scene_frames` clips in
+    the reference's directory layout (``<root>/<video>/frame_XXX.png``)."""
+    import cv2
+
+    dirs = []
+    for v in range(num_videos):
+        vdir = os.path.join(root, f"scene_{v:03d}")
+        os.makedirs(vdir, exist_ok=True)
+        frames = moving_scene_frames(num_frames, height, width,
+                                     channels=channels, seed=seed + 1000 * v,
+                                     num_sprites=num_sprites)
+        for i, f in enumerate(frames):
+            img = f[..., 0] if f.shape[-1] == 1 else f[..., ::-1]
+            cv2.imwrite(os.path.join(vdir, f"frame_{i:03d}.png"), img)
+        dirs.append(vdir)
+    return dirs
+
+
 def write_fixture_video(path: str, num_frames: int = 30, height: int = 128,
                         width: int = 128, fps: float = 30.0,
                         seed: int = 0) -> str:

@@ -62,7 +62,14 @@ class FrameEncoder(nn.Module):
 
 
 class FusionDecoder(nn.Module):
-    """Scale-wise fusion (concat) of two pyramids + U-Net-style decoding."""
+    """Scale-wise fusion (concat) of two pyramids + U-Net-style decoding.
+
+    With ``slim=True`` each fused (concatenated) skip is projected back to
+    per-frame encoder width by a 1x1 conv before the decoder consumes it:
+    the plain concat doubles every decoder width, and at high resolution the
+    decoder is HBM-bandwidth-bound, so halving its widths ~halves its
+    traffic while the 1x1 projections are MXU-cheap.
+    """
 
     out_channels: int = 1
     base_width: int = 32
@@ -70,6 +77,7 @@ class FusionDecoder(nn.Module):
     time_conditioned: bool = False
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    slim: bool = False
 
     @nn.compact
     def __call__(self, feats1: List[jax.Array], feats2: List[jax.Array],
@@ -77,6 +85,11 @@ class FusionDecoder(nn.Module):
                  train: bool = False) -> jax.Array:
         fused = [jnp.concatenate([a, b], axis=-1)
                  for a, b in zip(feats1, feats2)]
+        if self.slim:
+            fused = [nn.relu(nn.Conv(f.shape[-1] // 2, (1, 1), use_bias=True,
+                                     dtype=self.compute_dtype,
+                                     name=f"proj{j}")(f))
+                     for j, f in enumerate(fused)]
         y = fused[-1]
         if self.time_conditioned:
             if t is None:
@@ -85,7 +98,8 @@ class FusionDecoder(nn.Module):
                 t[:, None, None, None].astype(y.dtype),
                 (*y.shape[:-1], 1))
             y = jnp.concatenate([y, tmap], axis=-1)
-        w2 = self.base_width * 2          # fused widths match the ref U-Net
+        # fused widths match the ref U-Net; slim halves them back
+        w2 = self.base_width * (1 if self.slim else 2)
         for i in range(1, self.depth + 1):
             ch = w2 * (2 ** (self.depth - i))
             if i < self.depth:
@@ -126,7 +140,16 @@ class TowerInterpolator(nn.Module):
                                      depth=self.cfg.depth,
                                      time_conditioned=self.cfg.time_conditioned,
                                      compute_dtype=self.compute_dtype,
-                                     folded=self.folded)
+                                     folded=self.folded,
+                                     slim=self.cfg.slim_decoder)
+        if self.cfg.refine_width > 0 and r > 1:
+            w = self.cfg.refine_width
+            self.refine1 = nn.Conv(w, (3, 3), padding="SAME",
+                                   dtype=self.compute_dtype, name="refine1")
+            self.refine2 = nn.Conv(w, (3, 3), padding="SAME",
+                                   dtype=self.compute_dtype, name="refine2")
+            self.refine_out = nn.Conv(self.cfg.channels, (1, 1),
+                                      dtype=jnp.float32, name="refine_out")
 
     def encode(self, frame: jax.Array, train: bool = False) -> List[jax.Array]:
         r = self.cfg.space_to_depth
@@ -144,7 +167,19 @@ class TowerInterpolator(nn.Module):
             mid = 0.5 * (space_to_depth(f1, r) + space_to_depth(f2, r)) \
                 if r > 1 else 0.5 * (f1 + f2)
             y = y + mid.astype(y.dtype)
-        return depth_to_space(y, r)
+        y = depth_to_space(y, r)
+        if self.cfg.refine_width > 0 and r > 1:
+            # same full-resolution refinement head as the U-Net family
+            # (models/unet.py): the s2d output head emits r*r sub-pixels
+            # from one coarse feature vector; two thin full-res convs over
+            # (prediction + both source frames) restore fine detail
+            cdt = self.compute_dtype
+            z = jnp.concatenate([y.astype(cdt), f1.astype(cdt),
+                                 f2.astype(cdt)], axis=-1)
+            z = nn.relu(self.refine1(z))
+            z = nn.relu(self.refine2(z))
+            y = y + self.refine_out(z.astype(jnp.float32))
+        return y
 
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
                  t: Optional[jax.Array] = None,

@@ -34,7 +34,17 @@ def test_parser_has_all_subcommands():
     subs = next(a for a in p._actions
                 if isinstance(a, __import__("argparse")._SubParsersAction))
     assert set(subs.choices) == {"train", "infer", "video", "eval",
-                                 "serve", "info", "demo", "convert"}
+                                 "serve", "info", "demo", "convert",
+                                 "dataset"}
+
+
+def test_dataset_command(tmp_path, capsys):
+    out = str(tmp_path / "scenes")
+    assert main(["dataset", "--output-dir", out, "--videos", "2",
+                 "--frames", "5", "--size", "32"]) == 0
+    from ai_based_frame_interpolation_tpu.data.triplets import scan_triplets
+    assert len(scan_triplets(out)) == 2 * 3
+    assert "6 triplets" in capsys.readouterr().out
 
 
 def test_train_flags_honored():

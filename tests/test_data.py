@@ -31,6 +31,39 @@ def test_moving_circle_is_deterministic():
     assert (a[0] != a[2]).any()
 
 
+def test_moving_scene_properties():
+    from ai_based_frame_interpolation_tpu.data.synthetic import \
+        moving_scene_frames
+
+    a = moving_scene_frames(5, 64, 64, seed=11)
+    b = moving_scene_frames(5, 64, 64, seed=11)
+    np.testing.assert_array_equal(a, b)          # deterministic
+    assert a.shape == (5, 64, 64, 1) and a.dtype == np.uint8
+    assert (a[0] != a[4]).mean() > 0.2           # the scene actually moves
+    # different seeds give genuinely different scenes
+    c = moving_scene_frames(5, 64, 64, seed=12)
+    assert (a != c).mean() > 0.3
+    rgb = moving_scene_frames(3, 48, 48, channels=3, seed=1)
+    assert rgb.shape == (3, 48, 48, 3)
+    # motion is linear: the true midpoint of (t, t+2) is close to frame t+1
+    # (much closer than the endpoints are to each other)
+    mid_err = np.abs(a[1].astype(np.float32) -
+                     0.5 * (a[0].astype(np.float32) + a[2].astype(np.float32)))
+    end_err = np.abs(a[0].astype(np.float32) - a[2].astype(np.float32))
+    assert mid_err.mean() < end_err.mean()
+
+
+def test_write_scene_tree_feeds_the_triplet_scanner(tmp_path):
+    from ai_based_frame_interpolation_tpu.data.synthetic import \
+        write_scene_tree
+
+    dirs = write_scene_tree(str(tmp_path), num_videos=2, num_frames=5,
+                            height=32, width=32)
+    assert len(dirs) == 2
+    triplets = scan_triplets(str(tmp_path))
+    assert len(triplets) == 2 * 3
+
+
 def test_scan_triplets_layout(fixture_root):
     # 6 frames per video -> 4 triplets (i, i+2 -> i+1), reference
     # model/train.py:96-118

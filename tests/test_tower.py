@@ -64,6 +64,48 @@ def test_stream_4x_falls_back(tower_engine):
     assert len(out) == 3 + 2 * 3
 
 
+def test_slim_decoder_shapes_and_fewer_params():
+    wide = build_model(ModelConfig(arch="tower", base_width=8,
+                                   space_to_depth=2), jnp.float32)
+    slim = build_model(ModelConfig(arch="tower", base_width=8,
+                                   space_to_depth=2, slim_decoder=True),
+                       jnp.float32)
+    f = jnp.zeros((2, 32, 32, 1))
+    vw = jax.jit(lambda a, b: wide.init(jax.random.key(0), a, b,
+                                        train=False))(f, f)
+    vs = jax.jit(lambda a, b: slim.init(jax.random.key(0), a, b,
+                                        train=False))(f, f)
+    out = jax.jit(lambda v, a, b: slim.apply(v, a, b))(vs, f, f)
+    assert out.shape == (2, 32, 32, 1)
+    # halved decoder widths => clearly fewer parameters
+    assert count_parameters(vs) < 0.6 * count_parameters(vw)
+
+
+def test_tower_refine_head_shapes():
+    m = build_model(ModelConfig(arch="tower", base_width=8,
+                                space_to_depth=2, refine_width=8,
+                                residual=True), jnp.float32)
+    f = jnp.zeros((2, 32, 32, 1))
+    v = jax.jit(lambda a, b: m.init(jax.random.key(0), a, b,
+                                    train=False))(f, f)
+    assert "refine1" in v["params"]
+    out = jax.jit(lambda v, a, b: m.apply(v, a, b))(v, f, f)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_slim_tower_stream_matches_pairwise():
+    eng = InterpolationEngine.random_init(
+        ModelConfig(arch="tower", base_width=8, space_to_depth=2,
+                    slim_decoder=True, refine_width=8), seed=1)
+    frames = list(moving_circle_frames(4, 32, 32))
+    out = list(eng.interpolate_video_frames(iter(frames), factor=2,
+                                            batch_pairs=2))
+    assert len(out) == 7
+    direct = eng.interpolate_pair(frames[1], frames[2])
+    np.testing.assert_allclose(out[3].astype(int), direct.astype(int),
+                               atol=1)
+
+
 def test_tower_trains():
     m = build_model(TINY, jnp.bfloat16)
     f = jnp.zeros((1, 32, 32, 1), jnp.float32)
