@@ -53,6 +53,12 @@ class ModelConfig:
     # space-to-depth U-Net (0 = off). Recovers the sub-pixel detail the
     # s2d output head loses, at a tiny fraction of full-res U-Net cost.
     refine_width: int = 0
+    # run the refinement head in space-to-depth layout (inputs/outputs as
+    # r x r sub-pixel channels at H/r x W/r) instead of full resolution.
+    # XLA pads thin-channel full-res tensors heavily in the lane dim, so
+    # the s2d head touches ~4x fewer padded bytes; receptive field doubles
+    # in full-res pixels. Quality/speed trade measured per round.
+    refine_s2d: bool = False
     # tower family only: project each fused (concatenated) skip back to
     # encoder width with a 1x1 conv before the decoder consumes it. The
     # plain concat doubles every decoder width — at high resolution the
