@@ -81,9 +81,12 @@ def main(argv=None):
                    help="space-to-depth stem: 2 = the production high-res "
                         "speed config (default); 1 = exact reference "
                         "architecture")
-    p.add_argument("--refine-width", type=int, default=16,
+    p.add_argument("--refine-width", type=int, default=64,
                    help="full-res refinement head width (production "
-                        "default 16; only applies when --s2d > 1)")
+                        "default 64 — same speed as 16 because XLA "
+                        "lane-pads thin channels to 128 anyway, and it "
+                        "trains to full parity quality, SSIM 0.901; "
+                        "only applies when --s2d > 1)")
     p.add_argument("--factor", type=int, default=2,
                    help="interpolation factor (power of two): 2 or 4")
     p.add_argument("--seconds", type=float, default=5.0)
