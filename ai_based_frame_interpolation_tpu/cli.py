@@ -38,8 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "2/4=high-res speed variants; default: from "
                              "checkpoint, else 1)")
         sp.add_argument("--refine-width", type=int, default=None,
-                        help="full-res refinement head width for s2d models "
-                             "(recommended: 16)")
+                        help="refinement head width for s2d models "
+                             "(recommended: 64 — nearly free vs 16)")
+        sp.add_argument("--refine-factor", type=int, default=None,
+                        help="rearrange factor the refine head runs at "
+                             "(1=full res, s2d=fastest; default from "
+                             "checkpoint, else 1)")
         sp.add_argument("--arch", default=None, choices=("unet", "tower"),
                         help="model family (default: from checkpoint, else "
                              "unet = reference parity)")
@@ -64,7 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="predict the correction to the linear midpoint "
                         "(faster convergence; changes the learned function)")
     t.add_argument("--refine-width", type=int, default=0,
-                   help="full-res refinement head width for s2d models")
+                   help="refinement head width for s2d models")
+    t.add_argument("--refine-factor", type=int, default=1,
+                   help="rearrange factor the refine head runs at "
+                        "(1=full resolution, s2d=fastest)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
@@ -161,7 +168,9 @@ def _load_engine(args, allow_random: bool = False):
         cfg = ModelConfig(arch=getattr(args, "arch", None) or "unet",
                           channels=args.channels or 1,
                           space_to_depth=getattr(args, "s2d", None) or 1,
-                          refine_width=getattr(args, "refine_width", None) or 0)
+                          refine_width=getattr(args, "refine_width", None) or 0,
+                          refine_factor=getattr(args, "refine_factor", None)
+                          or 1)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -217,7 +226,8 @@ def cmd_train(args) -> int:
 
     mcfg = ModelConfig(arch=args.arch, channels=args.channels,
                        space_to_depth=args.s2d, residual=args.residual,
-                       refine_width=args.refine_width)
+                       refine_width=args.refine_width,
+                       refine_factor=args.refine_factor)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)

@@ -53,12 +53,14 @@ class ModelConfig:
     # space-to-depth U-Net (0 = off). Recovers the sub-pixel detail the
     # s2d output head loses, at a tiny fraction of full-res U-Net cost.
     refine_width: int = 0
-    # run the refinement head in space-to-depth layout (inputs/outputs as
-    # r x r sub-pixel channels at H/r x W/r) instead of full resolution.
-    # XLA pads thin-channel full-res tensors heavily in the lane dim, so
-    # the s2d head touches ~4x fewer padded bytes; receptive field doubles
-    # in full-res pixels. Quality/speed trade measured per round.
-    refine_s2d: bool = False
+    # spatial rearrange factor AT WHICH the refinement head runs: 1 = full
+    # resolution (maximum sub-pixel detail), space_to_depth = fully in s2d
+    # layout (fastest — XLA pads thin-channel full-res tensors heavily in
+    # the lane dim, so coarser heads touch far fewer padded bytes),
+    # intermediate divisors of space_to_depth trade between the two.
+    # Measured on the fixture (s2d=2, width 64): factor 1 -> SSIM 0.901,
+    # factor 2 -> 0.868.
+    refine_factor: int = 1
     # tower family only: project each fused (concatenated) skip back to
     # encoder width with a 1x1 conv before the decoder consumes it. The
     # plain concat doubles every decoder width — at high resolution the

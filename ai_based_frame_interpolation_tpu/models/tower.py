@@ -143,14 +143,16 @@ class TowerInterpolator(nn.Module):
                                      folded=self.folded,
                                      slim=self.cfg.slim_decoder)
         if self.cfg.refine_width > 0 and r > 1:
+            g = self.cfg.refine_factor
+            if r % g:
+                raise ValueError(
+                    f"refine_factor {g} must divide space_to_depth {r}")
             w = self.cfg.refine_width
             self.refine1 = nn.Conv(w, (3, 3), padding="SAME",
                                    dtype=self.compute_dtype, name="refine1")
             self.refine2 = nn.Conv(w, (3, 3), padding="SAME",
                                    dtype=self.compute_dtype, name="refine2")
-            out_ch = self.cfg.out_channels if self.cfg.refine_s2d \
-                else self.cfg.channels
-            self.refine_out = nn.Conv(out_ch, (1, 1),
+            self.refine_out = nn.Conv(self.cfg.channels * g * g, (1, 1),
                                       dtype=jnp.float32, name="refine_out")
 
     def encode(self, frame: jax.Array, train: bool = False) -> List[jax.Array]:
@@ -169,29 +171,21 @@ class TowerInterpolator(nn.Module):
             mid = 0.5 * (space_to_depth(f1, r) + space_to_depth(f2, r)) \
                 if r > 1 else 0.5 * (f1 + f2)
             y = y + mid.astype(y.dtype)
-        if self.cfg.refine_width > 0 and r > 1 and self.cfg.refine_s2d:
-            # s2d-layout refinement (see models/unet.py): sub-pixels as
-            # channels at H/r x W/r — far fewer lane-padded bytes
+        if self.cfg.refine_width > 0 and r > 1:
+            # same refinement head as the U-Net family (models/unet.py),
+            # at rearrange factor g = cfg.refine_factor (1 = full res,
+            # r = fully s2d; see config.py for the speed/quality trade)
+            g = self.cfg.refine_factor
             cdt = self.compute_dtype
-            z = jnp.concatenate([y.astype(cdt),
-                                 space_to_depth(f1, r).astype(cdt),
-                                 space_to_depth(f2, r).astype(cdt)], axis=-1)
+            yg = depth_to_space(y, r // g)       # y is in r-space here
+            z = jnp.concatenate([yg.astype(cdt),
+                                 space_to_depth(f1, g).astype(cdt),
+                                 space_to_depth(f2, g).astype(cdt)], axis=-1)
             z = nn.relu(self.refine1(z))
             z = nn.relu(self.refine2(z))
-            y = y + self.refine_out(z.astype(jnp.float32))
-        y = depth_to_space(y, r)
-        if self.cfg.refine_width > 0 and r > 1 and not self.cfg.refine_s2d:
-            # same full-resolution refinement head as the U-Net family
-            # (models/unet.py): the s2d output head emits r*r sub-pixels
-            # from one coarse feature vector; two thin full-res convs over
-            # (prediction + both source frames) restore fine detail
-            cdt = self.compute_dtype
-            z = jnp.concatenate([y.astype(cdt), f1.astype(cdt),
-                                 f2.astype(cdt)], axis=-1)
-            z = nn.relu(self.refine1(z))
-            z = nn.relu(self.refine2(z))
-            y = y + self.refine_out(z.astype(jnp.float32))
-        return y
+            return depth_to_space(yg + self.refine_out(z.astype(jnp.float32)),
+                                  g)
+        return depth_to_space(y, r)
 
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
                  t: Optional[jax.Array] = None,

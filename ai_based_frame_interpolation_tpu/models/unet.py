@@ -221,40 +221,34 @@ class FrameInterpolationUNet(nn.Module):
             # frame1/frame2 are already space-to-depth'd here; the linear
             # midpoint commutes with the block rearrange
             y = y + 0.5 * (frame1 + frame2).astype(y.dtype)
-        if self.cfg.refine_width > 0 and r > 1 and self.cfg.refine_s2d:
-            # refinement in s2d layout: all r*r sub-pixels as channels at
-            # H/r x W/r — ~4x fewer lane-padded bytes than the full-res
-            # head (XLA pads thin-channel tensors to 128 lanes)
+        if self.cfg.refine_width > 0 and r > 1:
+            # refinement head: the s2d U-Net's output head emits r*r
+            # sub-pixels from one coarse feature vector, which blurs fine
+            # detail; two thin convs over (prediction + both source frames)
+            # add it back. The head runs at rearrange factor g
+            # (cfg.refine_factor): g=1 = full resolution (max detail),
+            # g=r = fully s2d (fewest lane-padded bytes — XLA pads thin
+            # channels to 128 lanes), intermediate g trades between them.
+            g = self.cfg.refine_factor
+            if r % g:
+                raise ValueError(
+                    f"refine_factor {g} must divide space_to_depth {r}")
             w = self.cfg.refine_width
             cdt = self.compute_dtype
-            z = jnp.concatenate([y.astype(cdt), frame1.astype(cdt),
-                                 frame2.astype(cdt)], axis=-1)
-            z = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
-                                name="refine1")(z))
-            z = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
-                                name="refine2")(z))
-            delta = nn.Conv(self.cfg.out_channels, (1, 1), dtype=jnp.float32,
-                            name="refine_out")(z.astype(jnp.float32))
-            y = y + delta
-        y = depth_to_space(y, r)
-        if self.cfg.refine_width > 0 and r > 1 and not self.cfg.refine_s2d:
-            # light full-res refinement: the s2d U-Net's output head emits
-            # r*r sub-pixels from one coarse feature vector, which blurs
-            # fine detail; two thin full-res convs over (prediction + both
-            # source frames) add it back for a few % of full-res U-Net cost
-            w = self.cfg.refine_width
-            cdt = self.compute_dtype
+            # y / frame1 / frame2 are in r-space here; move them to g-space
+            yg = depth_to_space(y, r // g)
             z = jnp.concatenate(
-                [y.astype(cdt), depth_to_space(frame1, r).astype(cdt),
-                 depth_to_space(frame2, r).astype(cdt)], axis=-1)
+                [yg.astype(cdt), depth_to_space(frame1, r // g).astype(cdt),
+                 depth_to_space(frame2, r // g).astype(cdt)], axis=-1)
             z = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
                                 name="refine1")(z))
             z = nn.relu(nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
                                 name="refine2")(z))
-            delta = nn.Conv(self.cfg.channels, (1, 1), dtype=jnp.float32,
+            delta = nn.Conv(self.cfg.channels * g * g, (1, 1),
+                            dtype=jnp.float32,
                             name="refine_out")(z.astype(jnp.float32))
-            y = y + delta
-        return y
+            return depth_to_space(yg + delta, g)
+        return depth_to_space(y, r)
 
 
 def init_variables(model: FrameInterpolationUNet, rng: jax.Array,

@@ -83,18 +83,25 @@ def test_forward_rgb_mode():
     assert out.shape == (1, 32, 32, 3)
 
 
-@pytest.mark.parametrize("refine_s2d", [False, True])
-def test_refine_head_shapes(refine_s2d):
-    cfg = ModelConfig(base_width=4, space_to_depth=2, refine_width=8,
-                      residual=True, refine_s2d=refine_s2d)
+@pytest.mark.parametrize("s2d,g", [(2, 1), (2, 2), (4, 2), (4, 4)])
+def test_refine_head_shapes(s2d, g):
+    cfg = ModelConfig(base_width=4, space_to_depth=s2d, refine_width=8,
+                      residual=True, refine_factor=g)
     model, v = init_tiny(cfg)
     assert "refine1" in v["params"]
-    # s2d-layout head regresses all r*r sub-pixels; full-res head one channel
+    # the factor-g head regresses all g*g sub-pixels per location
     out_ch = v["params"]["refine_out"]["kernel"].shape[-1]
-    assert out_ch == (4 if refine_s2d else 1)
-    f = jnp.zeros((2, 32, 32, 1))
-    out = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(v, f, f)
-    assert out.shape == (2, 32, 32, 1)
+    assert out_ch == g * g
+    f = jnp.zeros((2, 64, 64, 1))
+    out = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(
+        v, f, f)
+    assert out.shape == (2, 64, 64, 1)
+
+
+def test_refine_factor_must_divide_s2d():
+    with pytest.raises(ValueError, match="must divide"):
+        init_tiny(ModelConfig(base_width=4, space_to_depth=4,
+                              refine_width=8, refine_factor=3))
 
 
 def test_time_conditioned_changes_output(rng):
