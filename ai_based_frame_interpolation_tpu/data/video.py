@@ -54,6 +54,44 @@ class VideoReader:
         self.cap.release()
 
 
+class AsyncVideoReader(VideoReader):
+    """VideoReader with a background decode-ahead thread.
+
+    The synchronous reader decodes inside the consumer loop, serializing
+    decode with dispatch/assembly; this variant keeps ``max_queue`` frames
+    decoded ahead so decode, device compute, and encode all overlap — on a
+    host-bound machine end-to-end throughput becomes max(decode, encode)
+    instead of their sum.
+    """
+
+    def __init__(self, path: str, grayscale: bool = False,
+                 max_queue: int = 32):
+        super().__init__(path, grayscale=grayscale)
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(max_queue)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self):
+        try:
+            for frame in VideoReader.__iter__(self):
+                self._q.put(frame)
+        except BaseException as e:
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            frame = self._q.get()
+            if frame is None:
+                break
+            yield frame
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+
+
 class VideoWriter:
     """Write RGB/grayscale HWC uint8 frames to an MP4, streaming."""
 
@@ -64,12 +102,16 @@ class VideoWriter:
         self._writer = None
         self.frames_written = 0
 
-    def _open(self, h: int, w: int):
+    def _open(self, h: int, w: int, color: bool):
         import cv2
 
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
         fourcc = cv2.VideoWriter_fourcc(*self.codec)
-        self._writer = cv2.VideoWriter(self.path, fourcc, self.fps, (w, h))
+        # grayscale streams encode directly (isColor=False) — skips a
+        # per-frame GRAY->BGR conversion, which matters on small hosts
+        self._writer = cv2.VideoWriter(self.path, fourcc, self.fps, (w, h),
+                                       isColor=color)
+        self._color = color
         if not self._writer.isOpened():
             raise IOError(f"could not open video writer: {self.path}")
 
@@ -81,12 +123,15 @@ class VideoWriter:
             frame = frame[..., None]
         h, w = frame.shape[:2]
         if self._writer is None:
-            self._open(h, w)
+            self._open(h, w, color=frame.shape[-1] != 1)
         if frame.shape[-1] == 1:
-            bgr = cv2.cvtColor(frame[..., 0], cv2.COLOR_GRAY2BGR)
+            if self._color:   # stream switched? keep the writer consistent
+                out = cv2.cvtColor(frame[..., 0], cv2.COLOR_GRAY2BGR)
+            else:
+                out = frame[..., 0]
         else:
-            bgr = frame[:, :, ::-1]  # RGB -> BGR
-        self._writer.write(np.ascontiguousarray(bgr))
+            out = frame[:, :, ::-1]  # RGB -> BGR
+        self._writer.write(np.ascontiguousarray(out))
         self.frames_written += 1
 
     def close(self):

@@ -370,10 +370,10 @@ class InterpolationEngine:
         This is the real implementation of the reference's advertised
         ``main.py video`` command (``main.py:118-129``, broken there).
         """
-        from ..data.video import AsyncVideoWriter, VideoReader
+        from ..data.video import AsyncVideoReader, AsyncVideoWriter
 
         grayscale = self.cfg.channels == 1
-        reader = VideoReader(in_path, grayscale=grayscale)
+        reader = AsyncVideoReader(in_path, grayscale=grayscale)
         out_fps = fps if fps is not None else reader.fps * factor
         t0 = time.time()
         n_out = 0

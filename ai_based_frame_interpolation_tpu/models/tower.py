@@ -183,8 +183,10 @@ class TowerInterpolator(nn.Module):
                                  space_to_depth(f2, g).astype(cdt)], axis=-1)
             z = nn.relu(self.refine1(z))
             z = nn.relu(self.refine2(z))
-            return depth_to_space(yg + self.refine_out(z.astype(jnp.float32)),
-                                  g)
+            yg = yg + self.refine_out(z.astype(jnp.float32))
+            # compute-dtype materialization: see models/unet.py (f32 C=1
+            # full-res tensors can get 128x lane padding at 4x recursion)
+            return depth_to_space(yg.astype(self.compute_dtype), g)
         return depth_to_space(y, r)
 
     def __call__(self, frame1: jax.Array, frame2: jax.Array,

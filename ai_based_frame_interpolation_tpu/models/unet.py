@@ -247,7 +247,11 @@ class FrameInterpolationUNet(nn.Module):
             delta = nn.Conv(self.cfg.channels * g * g, (1, 1),
                             dtype=jnp.float32,
                             name="refine_out")(z.astype(jnp.float32))
-            return depth_to_space(yg + delta, g)
+            # materialize the refined frame in compute dtype: full-res
+            # C=1 f32 tensors at the recursive-bisection boundary can get a
+            # lane-minor layout from XLA (128x padding -> OOM at 4x); the
+            # add still accumulates in f32
+            return depth_to_space((yg + delta).astype(self.compute_dtype), g)
         return depth_to_space(y, r)
 
 

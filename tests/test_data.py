@@ -158,6 +158,36 @@ def test_grayscale_video_reader(tmp_path):
     assert frames[0].shape == (48, 48, 1)
 
 
+def test_async_reader_matches_sync(tmp_path):
+    from ai_based_frame_interpolation_tpu.data.video import AsyncVideoReader
+
+    path = str(tmp_path / "clip.mp4")
+    with VideoWriter(path, fps=20) as w:
+        for f in moving_circle_frames(8, 48, 48, channels=3):
+            w.write(f)
+    sync = list(VideoReader(path))
+    asyn = list(AsyncVideoReader(path, max_queue=3))
+    assert len(sync) == len(asyn) == 8
+    for a, b in zip(sync, asyn):
+        np.testing.assert_array_equal(a, b)
+    # grayscale flavor too
+    g = list(AsyncVideoReader(path, grayscale=True))
+    assert g[0].shape == (48, 48, 1)
+
+
+def test_grayscale_writer_roundtrip(tmp_path):
+    # isColor=False fast path: 1-channel frames encode and read back
+    path = str(tmp_path / "gray.mp4")
+    frames = moving_circle_frames(6, 48, 48, channels=1)
+    with VideoWriter(path, fps=20) as w:
+        for f in frames:
+            w.write(f)
+    back = list(VideoReader(path, grayscale=True))
+    assert len(back) == 6 and back[0].shape == (48, 48, 1)
+    # lossy codec: compare loosely
+    assert np.mean(np.abs(back[0].astype(int) - frames[0].astype(int))) < 8
+
+
 def test_loader_isolates_corrupt_files(tmp_path):
     import cv2
 
