@@ -59,7 +59,12 @@ class InterpolationEngine:
     """
 
     def __init__(self, model: FrameInterpolationUNet, variables,
-                 compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None):
+                 compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None,
+                 refine_impl: str = "auto"):
+        # refine_impl: "auto" = fused Pallas refinement head when eligible
+        # (TPU, grayscale, refine_factor=1, single device); "xla" = always
+        # the Flax/XLA branch. Same math either way (test_refine_fused.py).
+        self.refine_impl = refine_impl
         if (fold and isinstance(variables, dict)
                 and variables.get("batch_stats")):
             from ..models import build_model
@@ -134,8 +139,31 @@ class InterpolationEngine:
 
     # -- compiled kernels ---------------------------------------------------
 
+    def _fused_refine_ok(self, x) -> bool:
+        """Static eligibility for the fused Pallas refinement head: the
+        XLA head costs more than the whole s2d=4 core at 1080p (CLAUDE.md
+        perf notes), so the engine routes to the kernel whenever it can."""
+        if self.refine_impl not in ("auto", "pallas") or self.mesh is not None:
+            return False
+        if jax.devices()[0].platform != "tpu":
+            return False
+        from ..ops.pallas.refine_fused import eligible
+
+        return eligible(x.shape, self.cfg)
+
     def _forward(self, variables, x1, x2):
-        out = self.model.apply(variables, x1, x2, train=False)
+        if self._fused_refine_ok(x1):
+            from ..ops.pallas.refine_fused import refine_head_fused
+
+            y = self.model.apply(variables, x1, x2, train=False,
+                                 skip_refine=True)
+            p = variables["params"]
+            out = refine_head_fused(y.astype(jnp.float32), x1, x2,
+                                    p["refine1"], p["refine2"],
+                                    p["refine_out"],
+                                    compute_dtype=self.compute_dtype)
+        else:
+            out = self.model.apply(variables, x1, x2, train=False)
         return out.astype(self.compute_dtype)
 
     @functools.lru_cache(maxsize=32)

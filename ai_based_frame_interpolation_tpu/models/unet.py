@@ -197,7 +197,11 @@ class FrameInterpolationUNet(nn.Module):
 
     @nn.compact
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
-                 t: Optional[jax.Array] = None, train: bool = False) -> jax.Array:
+                 t: Optional[jax.Array] = None, train: bool = False,
+                 skip_refine: bool = False) -> jax.Array:
+        # skip_refine=True returns the pre-refine full-resolution prediction
+        # (incl. the residual), so a caller can apply the refinement head
+        # itself — the fused Pallas path (ops/pallas/refine_fused.py) does.
         r = self.cfg.space_to_depth
         if r > 1:
             frame1 = space_to_depth(frame1, r)
@@ -221,7 +225,7 @@ class FrameInterpolationUNet(nn.Module):
             # frame1/frame2 are already space-to-depth'd here; the linear
             # midpoint commutes with the block rearrange
             y = y + 0.5 * (frame1 + frame2).astype(y.dtype)
-        if self.cfg.refine_width > 0 and r > 1:
+        if self.cfg.refine_width > 0 and r > 1 and not skip_refine:
             # refinement head: the s2d U-Net's output head emits r*r
             # sub-pixels from one coarse feature vector, which blurs fine
             # detail; two thin convs over (prediction + both source frames)

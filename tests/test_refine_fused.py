@@ -1,0 +1,106 @@
+"""Fused Pallas refinement head vs the Flax/XLA branch.
+
+Interpret-mode tests pin the kernel's tiling/halo/border math against the
+model's own refine branch (``models/unet.py:236-254``) on CPU; the compiled
+path is exercised engine-level on the session accelerator (uint8 output
+parity — bf16 accumulation order differs between the two programs, so the
+tolerance is the usual cross-program atol=1 plus a tiny outlier budget).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_based_frame_interpolation_tpu.config import ModelConfig
+from ai_based_frame_interpolation_tpu.models import build_model
+from ai_based_frame_interpolation_tpu.ops.pallas.refine_fused import (
+    eligible, refine_head_fused)
+
+CPU = jax.devices("cpu")[0]
+
+
+def _setup(rng, cfg, h, w, batch=2):
+    model = build_model(cfg, jnp.bfloat16)
+    f1 = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, 1)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, 1)).astype(np.float32))
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f1, f1)
+    return model, variables, f1, f2
+
+
+def _compare(rng, cfg, h, w, batch=2):
+    model, variables, f1, f2 = _setup(rng, cfg, h, w, batch)
+    full = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(
+        variables, f1, f2)
+    y = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False,
+                                            skip_refine=True))(
+        variables, f1, f2)
+    p = variables["params"]
+    fused = refine_head_fused(y.astype(jnp.float32),
+                              f1.astype(jnp.bfloat16),
+                              f2.astype(jnp.bfloat16),
+                              p["refine1"], p["refine2"], p["refine_out"],
+                              interpret=True)
+    a = np.asarray(fused, np.float32)
+    b = np.asarray(full, np.float32)
+    # the kernel splits conv1 into three per-kx matmuls, so f32 summation
+    # order differs from XLA's single conv: allow 1-ulp bf16 flips on a
+    # fraction of pixels, exactness on the rest
+    np.testing.assert_allclose(a, b, atol=1.2e-2)
+    assert float((a == b).mean()) > 0.99
+
+
+def test_interpret_matches_xla_refine(rng):
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8,
+                                  residual=True), 64, 96)
+
+
+def test_interpret_width64_tap_packing(rng):
+    # width 64 exercises the production pack-2 conv2 grouping (9 taps ->
+    # 4 pairs + a zero-padded single)
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=64),
+                 32, 64, batch=1)
+
+
+def test_interpret_multi_col_tiles(rng):
+    # w=272 > the 256-column working width => real column tiling with a
+    # clamped last tile; h=48 => 3 row tiles
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 48, 272)
+
+
+def test_eligibility_gate():
+    cfg = ModelConfig(space_to_depth=4, refine_width=64)
+    assert eligible((2, 1088, 1920, 1), cfg)
+    assert eligible((1, 256, 256, 1), cfg)
+    assert not eligible((1, 1084, 1920, 1), cfg)      # H % 8 != 0
+    assert not eligible((1, 256, 256, 3), cfg)        # RGB
+    assert not eligible((2, 1088, 1920, 1), ModelConfig())  # no refine head
+    assert not eligible(
+        (2, 1088, 1920, 1),
+        ModelConfig(space_to_depth=4, refine_width=64, refine_factor=2))
+
+
+def test_engine_routes_and_matches_xla(rng):
+    """Engine-level parity on the session accelerator: the auto engine (fused
+    kernel on TPU) and the forced-XLA engine must produce the same uint8
+    frames. On CPU hosts both engines take the XLA path and match exactly."""
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+
+    cfg = ModelConfig(space_to_depth=2, refine_width=16, base_width=4,
+                      residual=True)
+    auto = InterpolationEngine.random_init(cfg)
+    xla = InterpolationEngine(auto.model, auto.variables, fold=False,
+                              refine_impl="xla")
+    f1 = rng.integers(0, 255, (96, 160, 1), np.uint8)
+    f2 = rng.integers(0, 255, (96, 160, 1), np.uint8)
+    a = auto.interpolate_pair(f1, f2).astype(np.int16)
+    b = xla.interpolate_pair(f1, f2).astype(np.int16)
+    d = np.abs(a - b)
+    # cross-program bf16 reassociation budget: atol 1 for 99.9% of pixels
+    assert float((d <= 1).mean()) > 0.999, float((d <= 1).mean())
+    assert int(d.max()) <= 3, int(d.max())
