@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--arch", default=None, choices=("unet", "tower"),
                         help="model family (default: from checkpoint, else "
                              "unet = reference parity)")
+        sp.add_argument("--upsample", default=None,
+                        choices=("align_corners", "half_pixel"),
+                        help="decoder upsample grid (default: from "
+                             "checkpoint; align_corners = reference parity, "
+                             "half_pixel = TPU-native, faster at s2d)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -72,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--refine-factor", type=int, default=1,
                    help="rearrange factor the refine head runs at "
                         "(1=full resolution, s2d=fastest)")
+    t.add_argument("--upsample", default="align_corners",
+                   choices=("align_corners", "half_pixel"),
+                   help="decoder upsample grid: align_corners = reference "
+                        "parity semantics; half_pixel = TPU-native (no "
+                        "decoder gathers; faster at s2d resolutions)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
@@ -170,7 +180,9 @@ def _load_engine(args, allow_random: bool = False):
                           space_to_depth=getattr(args, "s2d", None) or 1,
                           refine_width=getattr(args, "refine_width", None) or 0,
                           refine_factor=getattr(args, "refine_factor", None)
-                          or 1)
+                          or 1,
+                          upsample=getattr(args, "upsample", None)
+                          or "align_corners")
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -227,7 +239,8 @@ def cmd_train(args) -> int:
     mcfg = ModelConfig(arch=args.arch, channels=args.channels,
                        space_to_depth=args.s2d, residual=args.residual,
                        refine_width=args.refine_width,
-                       refine_factor=args.refine_factor)
+                       refine_factor=args.refine_factor,
+                       upsample=args.upsample)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)

@@ -38,6 +38,13 @@ class ModelConfig:
     base_width: int = 64        # width of the first encoder stage
     depth: int = 4              # number of down/up levels (64 -> 64*2^depth)
     bilinear: bool = True       # bilinear decoder (True) vs transposed conv (False)
+    # decoder upsample sampling grid: "align_corners" reproduces the
+    # reference's nn.Upsample(align_corners=True) exactly (required for .pth
+    # weight parity); "half_pixel" is the TPU-native shift-invariant variant
+    # (torch align_corners=False semantics) — no gathers/transposed copies
+    # in the decoder, measurably faster at s2d resolutions. A training-time
+    # choice: checkpoints record it.
+    upsample: str = "align_corners"
     time_conditioned: bool = False  # append a constant-t channel => arbitrary-time interpolation
     # space-to-depth stem: losslessly rearrange r x r pixel blocks into
     # channels so the whole U-Net runs at (H/r, W/r) with r^2 x channels.

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.resize import upsample2x_align_corners
+from ..ops.resize import upsample2x_align_corners, upsample2x_half_pixel
 from .unet import DoubleConv, depth_to_space, space_to_depth
 
 Dtype = Any
@@ -78,6 +78,7 @@ class FusionDecoder(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
     slim: bool = False
+    upsample: str = "align_corners"
 
     @nn.compact
     def __call__(self, feats1: List[jax.Array], feats2: List[jax.Array],
@@ -104,7 +105,10 @@ class FusionDecoder(nn.Module):
             ch = w2 * (2 ** (self.depth - i))
             if i < self.depth:
                 ch //= 2
-            y = upsample2x_align_corners(y)
+            if self.upsample == "half_pixel":
+                y = upsample2x_half_pixel(y)
+            else:
+                y = upsample2x_align_corners(y)
             skip = fused[self.depth - i]
             dh = skip.shape[-3] - y.shape[-3]
             dw = skip.shape[-2] - y.shape[-2]
@@ -141,7 +145,10 @@ class TowerInterpolator(nn.Module):
                                      time_conditioned=self.cfg.time_conditioned,
                                      compute_dtype=self.compute_dtype,
                                      folded=self.folded,
-                                     slim=self.cfg.slim_decoder)
+                                     slim=self.cfg.slim_decoder,
+                                     upsample=getattr(
+                                         self.cfg, "upsample",
+                                         "align_corners"))
         if self.cfg.refine_width > 0 and r > 1:
             g = self.cfg.refine_factor
             if r % g:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.resize import upsample2x_align_corners
+from ..ops.resize import upsample2x_align_corners, upsample2x_half_pixel
 
 Dtype = Any
 
@@ -110,12 +110,16 @@ class Up(nn.Module):
     bilinear: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    upsample: str = "align_corners"
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
         in_ch = x1.shape[-1] + x2.shape[-1]  # channels after concat
         if self.bilinear:
-            x1 = upsample2x_align_corners(x1)
+            if self.upsample == "half_pixel":
+                x1 = upsample2x_half_pixel(x1)
+            else:
+                x1 = upsample2x_align_corners(x1)
             mid = in_ch // 2
         else:
             x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
@@ -149,6 +153,7 @@ class UNet(nn.Module):
     bilinear: bool = True
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    upsample: str = "align_corners"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -173,7 +178,7 @@ class UNet(nn.Module):
                 ch //= factor
             # up1 pairs the bottleneck with skip[depth-1], etc.
             y = Up(ch, bilinear=self.bilinear, compute_dtype=cdt,
-                   folded=self.folded,
+                   folded=self.folded, upsample=self.upsample,
                    name=f"up{i}")(y, skips[self.depth - i], train)
 
         y = nn.Conv(self.out_channels, (1, 1), use_bias=True,
@@ -220,6 +225,7 @@ class FrameInterpolationUNet(nn.Module):
                  bilinear=self.cfg.bilinear,
                  compute_dtype=self.compute_dtype,
                  folded=self.folded,
+                 upsample=getattr(self.cfg, "upsample", "align_corners"),
                  name="unet")(x, train)
         if self.cfg.residual:
             # frame1/frame2 are already space-to-depth'd here; the linear

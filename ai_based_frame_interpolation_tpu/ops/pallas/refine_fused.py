@@ -9,12 +9,12 @@ detail with a 3-layer full-resolution head (``models/unet.py:224-254``):
     z2 = relu(conv3x3(z1, w -> w))
     out = prediction + conv1x1(z2, w -> 1)
 
-Under XLA this head costs ~4 ms per 1080p midpoint — more than the whole
-s2d=4 U-Net core (~3 ms) — for two reasons: (a) XLA lane-pads the 3-channel
-input conv to 128 channels, making conv1 as expensive as conv2 on the MXU,
-and (b) the two w-channel full-resolution activations (267 MB each at
-1080p/bf16) make four HBM round trips. This kernel fuses the whole head into
-row-tile programs that keep both 3x3 convs VMEM-resident.
+Under XLA this head costs ~3.8 ms per 1080p midpoint — more than the whole
+s2d=4 U-Net core (~2.5 ms) — for two reasons: (a) XLA lane-pads the
+3-channel input conv to 128 channels, making conv1 as expensive as conv2 on
+the MXU, and (b) the two w-channel full-resolution activations (267 MB each
+at 1080p/bf16) make four HBM round trips. This kernel fuses the whole head
+into row-tile programs that keep both 3x3 convs VMEM-resident.
 
 Everything is computed **transposed** — image width on lanes, channels on
 sublanes — which is what makes the kernel Mosaic-friendly AND fast:
@@ -22,18 +22,23 @@ sublanes — which is what makes the kernel Mosaic-friendly AND fast:
 - inputs arrive as three plane-major ``[B, 3, H+4, W+4]`` rows (full-width
   row-block DMAs; Mosaic's DMA engine cannot slice thin channel-minor
   arrays at all — minor-dim slices must be 128-aligned);
-- conv1 per z1-row is ONE ``(w, 27) @ (27, W)`` matmul whose RHS is just a
-  sublane-concat of 27 single-row lane-slices (the 9 taps x 3 planes);
-- conv2 packs tap pairs on the contraction axis: ``[W2_a^T | W2_b^T] (w,2w)
-  @ [z1_a ; z1_b] (2w, W)``. With w=64 that is a (64,128)@(128,W) MXU call
-  with full 128-deep contraction AND full output lanes — ~90% MXU
-  utilization, vs <30% for XLA's lane-padded convolutions;
+- horizontal taps are pre-rolled lane rotations (f32 round-trip: the TPU
+  rotate unit is 32-bit only). Mosaic tracks static rotations as *lazy*
+  layout offsets and rejects concatenations whose operands disagree on the
+  non-concat-dim offset, so every rolled array is **materialized through a
+  VMEM scratch round trip** — after which any tap mix concatenates freely;
+- conv1 per z1-row is then ONE ``(w, 27) @ (27, W)`` MXU matmul whose RHS
+  is a sublane-concat of all 27 single-row lane-slices (9 taps x 3 planes,
+  one K<=128 pass — a third of the naive per-kx decomposition's passes);
+- conv2 packs tap PAIRS on the contraction axis across the full 9-tap set:
+  ``[W2_a^T | W2_b^T] (w,2w) @ [z1_a ; z1_b] (2w, W)``. With w=64 that is
+  five (64,128)@(128,W) MXU calls per output row (4 full pairs + 1 single)
+  with full 128-deep contraction — vs six per-kx calls, vs <30% MXU
+  utilization for XLA's lane-padded convolutions. Rotated z1 rows live in a
+  3-slot VMEM ring (the 3x3 conv's row window);
 - the 1x1 output conv is a channels-are-sublanes reduction on the VPU (an
   MXU matmul with 1 output channel would waste 127/128 lanes), and its
   result is already width-on-lanes — exactly the output DMA layout;
-- horizontal taps are pre-rolled lane rotations (f32 round-trip: the TPU
-  rotate unit is 32-bit only), so every concat operand has offset zero on
-  the non-concatenated dim — Mosaic rejects mismatched lazy offsets there;
 - HBM traffic per 1080p frame drops from ~1.1 GB to ~45 MB.
 
 Numerics mirror the Flax head op-for-op (bf16 matmuls with f32 accumulation,
@@ -55,13 +60,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# Rows of output per program. The row halo is 2 (two stacked 3x3 convs); a
-# tile DMAs th+4 full-width plane rows and emits th. VMEM high-water mark at
-# 1080p/w=64 is ~6 MB (z1 rows live for a 3-row window across the output
-# loop thanks to liveness-based allocation).
-_TH = 8
+# Rows of output per program: 16 when the (padded) height allows, else 8.
+# The row halo is 2 (two stacked 3x3 convs); a tile DMAs th+8 full-width
+# plane rows (DMA row extents must be 8-aligned) and emits th. VMEM
+# high-water mark at 1080p/w=64/th=16 is ~5 MB.
+_TH = 16
 
-_TAPS = [(ky, kx) for ky in range(3) for kx in range(3)]
+
+def _tile_h(h: int) -> int:
+    return _TH if h % _TH == 0 else 8
 
 
 def eligible(shape, cfg=None) -> bool:
@@ -73,7 +80,7 @@ def eligible(shape, cfg=None) -> bool:
     if len(shape) != 4 or shape[-1] != 1:
         return False
     h, w = shape[-3], shape[-2]
-    ok = h >= _TH and h % _TH == 0 and w >= 16
+    ok = h >= 8 and h % 8 == 0 and w >= 16
     if cfg is not None:
         ok = ok and (cfg.refine_width > 0 and cfg.refine_factor == 1
                      and cfg.space_to_depth > 1 and cfg.channels == 1
@@ -92,8 +99,8 @@ def _roll_lanes(x: jax.Array, kx: int):
 
 
 def _kernel(z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref, w3_ref, b3_ref,
-            o_hbm, zt, ygt, ot, sems, *, th: int, height: int, width: int,
-            wp: int, w: int, pack: int, groups, cdt):
+            o_hbm, zt, zrm, z1m, ygt, ot, sems, *, th: int, height: int,
+            width: int, wp: int, w: int, pack: int, groups, cdt):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -113,9 +120,13 @@ def _kernel(z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref, w3_ref, b3_ref,
     cin.wait()
     cyg.wait()
 
-    # planes, pre-rolled for the three horizontal taps (lane offsets must be
-    # identical across concat operands, so shifts are materialized rotations)
-    zr = [[_roll_lanes(zt[p], kx) for kx in range(3)] for p in range(3)]
+    # planes, pre-rolled for the three horizontal taps and materialized via
+    # the scratch round trip (clears the rotation's lazy lane offset, so the
+    # 27-operand conv1 concat below mixes kx classes legally)
+    for p in range(3):
+        for kx in range(3):
+            zrm[p, kx] = _roll_lanes(zt[p], kx)
+    zr = [[zrm[p, kx] for kx in range(3)] for p in range(3)]
 
     # column mask: z1 lane j is frame column j-1; zero outside the image
     # (SAME-conv border semantics for the second conv's input)
@@ -123,45 +134,39 @@ def _kernel(z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref, w3_ref, b3_ref,
     colmask = (lane >= 1) & (lane <= width)
 
     def z1_row(r):
-        """One (w, W+2) row of the first conv's output, transposed.
-
-        Mosaic implements static lane rotations as *lazy* layout offsets, and
-        concatenation operands must agree on non-concat-dim offsets — so the
-        27-feature im2col is split into three per-kx concats (equal offsets
-        within each) feeding three (w, 9) @ (9, W+2) matmuls.
-        """
-        acc = None
-        for kx in range(3):
-            a1t = jnp.concatenate(
-                [zr[p][kx][r + ky:r + ky + 1, :w1_]
-                 for ky in range(3) for p in range(3)], axis=0)
-            d = jax.lax.dot_general(
-                w1t_ref[kx], a1t, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
-        row = jax.nn.relu(acc.astype(cdt) + b1_ref[...])
+        """One (w, W+2) row of the first conv's output, transposed: a single
+        (w, 27) @ (27, W+2) MXU pass over the 27-row im2col concat."""
+        a = jnp.concatenate(
+            [zr[p][kx][r + ky:r + ky + 1, :w1_]
+             for ky in range(3) for p in range(3) for kx in range(3)], axis=0)
+        d = jax.lax.dot_general(
+            w1t_ref[...], a, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        row = jax.nn.relu(d.astype(cdt) + b1_ref[...])
         fr = r0 + r - 1
         ok = colmask & (fr >= 0) & (fr < height)
         return jnp.where(ok, row, jnp.zeros_like(row))
 
-    rows = {}
+    def fill(r):
+        """Compute z1 row r and park its three rotations in the ring
+        (slot r % 3 — a row's last reader is output row r, by which time
+        the next occupant, row r+3, has not yet been written)."""
+        base = jnp.pad(z1_row(r), ((0, 0), (0, wp - w1_)))
+        s = r % 3
+        z1m[0, s] = base
+        for kx in (1, 2):
+            z1m[kx, s] = _roll_lanes(base, kx)
 
-    def get_row(r, kx):
-        if (r, kx) not in rows:
-            if kx == 0:
-                rows[(r, 0)] = z1_row(r)
-            else:
-                rows[(r, kx)] = _roll_lanes(get_row(r, 0), kx)
-        return rows[(r, kx)]
-
+    fill(0)
+    fill(1)
     w3col = w3_ref[...]
     for t in range(th):
+        fill(t + 2)
         acc = jnp.zeros((w, w1_), jnp.float32)
-        for gi, (gkx, group) in enumerate(groups):
-            parts = []
-            for k in range(pack):
-                ky = group[k] if k < len(group) else group[0]
-                parts.append(get_row(t + ky, gkx))
+        for gi, group in enumerate(groups):
+            parts = [z1m[kx, (t + ky) % 3][:, :w1_] for ky, kx in group]
+            while len(parts) < pack:        # zero-padded short group
+                parts.append(parts[0])
             rhs = parts[0] if pack == 1 else jnp.concatenate(parts, axis=0)
             acc = acc + jax.lax.dot_general(
                 w2g_ref[gi], rhs, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -196,33 +201,29 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
 
     cdt = compute_dtype
     bsz, h, wd, _ = y_full.shape
-    th = _TH
+    th = _tile_h(h)
 
     w1 = refine1["kernel"]                      # (3, 3, 3, w)
     w = int(w1.shape[-1])
-    # conv2 tap groups: packed on the contraction axis, but only within a
-    # kx class — concat operands must share the lane offset (= kx)
-    pack = max(1, min(3, 128 // w))
-    groups = []                                 # [(kx, [ky, ...]), ...]
-    for kx in range(3):
-        kys = [0, 1, 2]
-        for g in range(0, 3, pack):
-            groups.append((kx, kys[g:g + pack]))
+    # conv2 tap groups: packed on the contraction axis across the full
+    # (ky, kx) tap set — legal because rotated z1 rows are scratch-
+    # materialized (offset-0), so concat operands may mix kx classes
+    taps = [(ky, kx) for ky in range(3) for kx in range(3)]
+    pack = max(1, min(9, 128 // w))
+    groups = [tuple(taps[g:g + pack]) for g in range(0, 9, pack)]
 
-    # lhs weights, transposed: rows = output channels. w1t[kx] is the
-    # (w, 9) slice for one horizontal tap (rows ordered ky-major, plane-minor
-    # to match the kernel's concat order)
-    w1t = jnp.stack([
-        refine1["kernel"][:, kx].reshape(9, w).T.astype(cdt)
-        for kx in range(3)])                                   # (3, w, 9)
+    # conv1 weights as one (w, 27) lhs; RHS rows ordered ky-major,
+    # plane-minor, kx-minor to match the kernel's concat order. Flax conv
+    # kernels are (kh, kw, cin, cout) = (ky, kx, plane, w).
+    w1t = w1.transpose(0, 2, 1, 3).reshape(27, w).T.astype(cdt)   # (w, 27)
     b1 = refine1["bias"].reshape(w, 1).astype(cdt)
-    w2 = refine2["kernel"].astype(cdt)                         # (3, 3, w, w)
+    w2 = refine2["kernel"].astype(cdt)                            # (3,3,w,w)
     gmats = []
-    for gkx, group in groups:
-        mats = [w2[ky, gkx].T for ky in group]
+    for group in groups:
+        mats = [w2[ky, kx].T for ky, kx in group]
         while len(mats) < pack:                 # zero-pad the short group
             mats.append(jnp.zeros_like(mats[0]))
-        gmats.append(jnp.concatenate(mats, axis=1))            # (w, pack*w)
+        gmats.append(jnp.concatenate(mats, axis=1))               # (w, pack*w)
     w2g = jnp.stack(gmats)                      # (ngroups, w, pack*w)
     ngroups = len(groups)
     b2 = refine2["bias"].reshape(w, 1).astype(cdt)
@@ -248,7 +249,7 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),              # zp
             pl.BlockSpec(memory_space=pltpu.ANY),              # yg
-            pl.BlockSpec((3, w, 9), lambda b, i: (0, 0, 0),
+            pl.BlockSpec((w, 27), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # w1t
             pl.BlockSpec((w, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # b1
@@ -266,6 +267,8 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
         out_shape=jax.ShapeDtypeStruct((bsz, h, wp), cdt),
         scratch_shapes=[
             pltpu.VMEM((3, th + 8, wp), cdt),                  # zt
+            pltpu.VMEM((3, 3, th + 8, wp), cdt),               # zrm
+            pltpu.VMEM((3, 3, w, wp), cdt),                    # z1m ring
             pltpu.VMEM((th, wp), jnp.float32),                 # ygt
             pltpu.VMEM((th, wp), cdt),                         # ot
             pltpu.SemaphoreType.DMA((3,)),

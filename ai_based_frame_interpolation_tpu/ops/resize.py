@@ -4,15 +4,22 @@ The reference decoder upsamples with ``nn.Upsample(scale_factor=2,
 mode='bilinear', align_corners=True)`` (reference ``model/unet.py:40``) and the
 host preprocessing resizes with OpenCV (``model/inference.py:29``).
 ``jax.image.resize`` has no ``align_corners`` mode, so numeric parity would be
-lost. Instead we build the 1-D linear-interpolation operator as a constant
-``[out, in]`` matrix per axis and apply it as two contractions:
+lost. We implement the exact 1-D two-tap interpolation per axis, choosing the
+formulation per axis by what the TPU layout makes cheap:
 
-    y = M_h @ x @ M_w^T          (per batch/channel, NHWC via einsum)
+- **H axis: gather + lerp.** H is a major dim in XLA's NHWC layout, so row
+  gathers are plain addressing; a dense H-contraction would force a relayout
+  of the whole tensor (measured slower).
+- **W axis: dense matmul** ``x @ M^T`` against the constant ``[out, in]``
+  two-tap matrix when the input is bf16 and narrow enough
+  (``_W_MATMUL_MAX_IN``). W sits on sublanes, so the contraction feeds the
+  MXU with no transpose — whereas a W-gather makes XLA materialize a W-major
+  transposed copy of the tensor (the dominant HBM cost of the s2d decoder).
+  Wide/f32 tensors (full-res parity model, eval preprocessing) keep the
+  exact-f32 gather+lerp.
 
-On TPU this is the idiomatic formulation: the constant matrices are folded
-into the program, the contractions tile directly onto the 128x128 MXU, and XLA
-fuses the surrounding elementwise work. It is exact (each output row has at
-most two non-zeros equal to the interpolation weights), differentiable, and
+Both paths are exact two-tap convex combinations (the matmul path rounds the
+weights to bf16 — below uint8 output quantization), differentiable, and
 shape-static.
 """
 
@@ -97,6 +104,33 @@ def _lerp_axis(x: jax.Array, axis: int, in_size: int, out_size: int,
     return out.astype(x.dtype)
 
 
+# Max contraction width for the W-axis matmul formulation. Above this the
+# dense [out, in] product's FLOPs outgrow the relayout traffic it avoids
+# (full-res parity keeps the gather); below it (every s2d model level) the
+# matmul is the clear win: the W dim sits on sublanes in XLA's NHWC layout,
+# so contracting it feeds the MXU with NO transpose, while a W-gather makes
+# XLA materialize a W-major transposed copy of the whole tensor (measured at
+# 1080p s2d=4: core 2.65 -> 2.06 ms/midpoint, traffic 1.74 -> 1.58 GB/mid).
+# The H-axis is the opposite: H is a major dim, so row gathers are cheap and
+# an H-contraction would force the relayout instead — H always uses lerp.
+_W_MATMUL_MAX_IN = 512
+
+
+def _wmat_axis(x: jax.Array, in_size: int, out_size: int,
+               align_corners: bool) -> jax.Array:
+    """W-axis resize as ``x @ M^T`` on the MXU (bf16, f32 accumulation).
+
+    Numerically this computes the same two-tap convex combination as
+    :func:`_lerp_axis` with the weights rounded to bf16 (error <= 2^-9 of
+    the local pixel delta — far below uint8 output quantization; the f32
+    path keeps the exact lerp for the golden torch-parity tests).
+    """
+    m = jnp.asarray(_linear_matrix_np(in_size, out_size, align_corners),
+                    x.dtype)
+    return jnp.einsum("bhwc,ow->bhoc", x, m,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def resize_bilinear(
     x: jax.Array,
     out_hw: Tuple[int, int],
@@ -116,9 +150,13 @@ def resize_bilinear(
         raise ValueError(f"expected NHWC or HWC, got shape {x.shape}")
     h_in, w_in = x.shape[1], x.shape[2]
     h_out, w_out = out_hw
+    w_matmul = x.dtype == jnp.bfloat16 and w_in <= _W_MATMUL_MAX_IN
+    if w_in != w_out and w_matmul:
+        # W first: the matmul contracts at the not-yet-upsampled row count
+        x = _wmat_axis(x, w_in, w_out, align_corners)
     if h_in != h_out:
         x = _lerp_axis(x, 1, h_in, h_out, align_corners)
-    if w_in != w_out:
+    if w_in != w_out and not w_matmul:
         x = _lerp_axis(x, 2, w_in, w_out, align_corners)
     return x[0] if squeeze else x
 
@@ -126,6 +164,48 @@ def resize_bilinear(
 def upsample2x_align_corners(x: jax.Array) -> jax.Array:
     """The decoder's x2 bilinear upsample (reference ``model/unet.py:40``)."""
     return resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2), align_corners=True)
+
+
+def upsample2x_half_pixel(x: jax.Array) -> jax.Array:
+    """x2 bilinear upsample with half-pixel centers, NHWC (TPU-native).
+
+    Matches ``torch.nn.functional.interpolate(scale_factor=2,
+    mode='bilinear', align_corners=False)``: shift-invariant two-tap rows
+    ``out[2i] = 0.25 x[i-1] + 0.75 x[i]`` and ``out[2i+1] = 0.75 x[i] +
+    0.25 x[i+1]`` (edge-clamped). Unlike ``align_corners=True`` (whose
+    per-output weights drift with position and therefore need gather or a
+    dense matrix), this needs only single-row shifts + an interleave:
+
+    - W axis: the constant-matrix MXU contraction (no transpose, W is on
+      sublanes) when bf16 and narrow, else shift+lerp+interleave;
+    - H axis: shift+lerp+interleave — H is a major dim, so the shifts are
+      pure addressing and the (h,2)->2h merge is layout-free. No gather at
+      all, which removes the H-gather's transposed copies from the decoder.
+
+    This is the ``ModelConfig(upsample="half_pixel")`` decoder — a training-
+    time architecture choice (new checkpoints), not numerically compatible
+    with reference ``nn.Upsample(align_corners=True)`` weights.
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    b, h, w, c = x.shape
+
+    if x.dtype == jnp.bfloat16 and w <= _W_MATMUL_MAX_IN:
+        x = _wmat_axis(x, w, 2 * w, align_corners=False)
+    else:
+        xm = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+        xp = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+        e = 0.25 * xm.astype(jnp.float32) + 0.75 * x.astype(jnp.float32)
+        o = 0.75 * x.astype(jnp.float32) + 0.25 * xp.astype(jnp.float32)
+        x = jnp.stack([e, o], axis=3).reshape(b, h, 2 * w, c).astype(x.dtype)
+
+    xm = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    xp = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    e = 0.25 * xm.astype(jnp.float32) + 0.75 * x.astype(jnp.float32)
+    o = 0.75 * x.astype(jnp.float32) + 0.25 * xp.astype(jnp.float32)
+    x = jnp.stack([e, o], axis=2).reshape(b, 2 * h, 2 * w, c).astype(x.dtype)
+    return x[0] if squeeze else x
 
 
 def pad_to_multiple(x: jax.Array, multiple: int = 16, mode: str = "edge"):

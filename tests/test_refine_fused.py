@@ -66,10 +66,16 @@ def test_interpret_width64_tap_packing(rng):
 
 
 def test_interpret_multi_col_tiles(rng):
-    # w=272 > the 256-column working width => real column tiling with a
-    # clamped last tile; h=48 => 3 row tiles
+    # w=272 exercises a padded (non-native-width) lane layout; h=48 => 3
+    # row tiles on the th=16 path
     with jax.default_device(CPU):
         _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 48, 272)
+
+
+def test_interpret_th8_fallback(rng):
+    # h=40 is 8-row-tileable but not 16 => the th=8 tile path
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 40, 64)
 
 
 def test_eligibility_gate():

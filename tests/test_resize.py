@@ -44,6 +44,31 @@ def test_upsample2x_helper(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
 
 
+def test_upsample2x_half_pixel_matches_torch(rng):
+    from ai_based_frame_interpolation_tpu.ops.resize import (
+        upsample2x_half_pixel)
+
+    x = rng.standard_normal((2, 12, 10, 4)).astype(np.float32)
+    # f32 path: shift+lerp+interleave, exact vs torch align_corners=False
+    ours = np.asarray(upsample2x_half_pixel(jnp.asarray(x)))
+    theirs = torch_resize(x, (24, 20), False)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+    # bf16 path: W axis goes through the constant-matrix MXU contraction
+    ours_bf = np.asarray(
+        upsample2x_half_pixel(jnp.asarray(x, jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(ours_bf, theirs, rtol=0.02, atol=0.02)
+
+
+def test_wmat_axis_matches_lerp_bf16(rng):
+    """The W-axis matmul (used inside resize_bilinear for narrow bf16
+    inputs) must agree with the exact f32 gather+lerp to bf16 precision."""
+    x = rng.standard_normal((2, 9, 40, 8)).astype(np.float32)
+    exact = torch_resize(x, (18, 80), True)
+    ours = np.asarray(
+        resize_bilinear(jnp.asarray(x, jnp.bfloat16), (18, 80)), np.float32)
+    np.testing.assert_allclose(ours, exact, rtol=0.02, atol=0.02)
+
+
 def test_identity_when_same_size(rng):
     x = rng.standard_normal((1, 8, 8, 1)).astype(np.float32)
     y = np.asarray(resize_bilinear(jnp.asarray(x), (8, 8)))
