@@ -98,6 +98,27 @@ def test_refine_head_shapes(s2d, g):
     assert out.shape == (2, 64, 64, 1)
 
 
+def test_half_pixel_upsample_variant(rng):
+    """upsample="half_pixel" (TPU-native decoder grid) builds, runs, and
+    produces a genuinely different function from align_corners — while
+    keeping the identical parameter structure (a training-time choice)."""
+    cfg_a = ModelConfig(base_width=4, space_to_depth=2, refine_width=8)
+    cfg_h = ModelConfig(base_width=4, space_to_depth=2, refine_width=8,
+                        upsample="half_pixel")
+    model_a, va = init_tiny(cfg_a)
+    model_h = FrameInterpolationUNet(cfg=cfg_h)
+    f1 = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 1)).astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 1)).astype(np.float32))
+    ya = jax.jit(lambda v, a, b: model_a.apply(v, a, b, train=False))(
+        va, f1, f2)
+    # same params, different decoder grid
+    yh = jax.jit(lambda v, a, b: model_h.apply(v, a, b, train=False))(
+        va, f1, f2)
+    assert yh.shape == ya.shape == (1, 32, 32, 1)
+    assert not np.allclose(np.asarray(ya, np.float32),
+                           np.asarray(yh, np.float32), atol=1e-4)
+
+
 def test_refine_factor_must_divide_s2d():
     with pytest.raises(ValueError, match="must divide"):
         init_tiny(ModelConfig(base_width=4, space_to_depth=4,
