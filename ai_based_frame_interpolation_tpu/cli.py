@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="decoder upsample grid (default: from "
                              "checkpoint; align_corners = reference parity, "
                              "half_pixel = TPU-native, faster at s2d)")
+        sp.add_argument("--refine-depthwise", action="store_true",
+                        help="separable refine conv2 (matches a checkpoint "
+                             "trained with --refine-depthwise)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -82,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decoder upsample grid: align_corners = reference "
                         "parity semantics; half_pixel = TPU-native (no "
                         "decoder gathers; faster at s2d resolutions)")
+    t.add_argument("--refine-depthwise", action="store_true",
+                   help="separable refine conv2 (depthwise+pointwise): "
+                        "much cheaper head at 1080p")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
@@ -182,7 +188,9 @@ def _load_engine(args, allow_random: bool = False):
                           refine_factor=getattr(args, "refine_factor", None)
                           or 1,
                           upsample=getattr(args, "upsample", None)
-                          or "align_corners")
+                          or "align_corners",
+                          refine_depthwise=getattr(args, "refine_depthwise",
+                                                   False))
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -240,7 +248,8 @@ def cmd_train(args) -> int:
                        space_to_depth=args.s2d, residual=args.residual,
                        refine_width=args.refine_width,
                        refine_factor=args.refine_factor,
-                       upsample=args.upsample)
+                       upsample=args.upsample,
+                       refine_depthwise=args.refine_depthwise)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)

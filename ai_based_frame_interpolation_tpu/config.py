@@ -60,6 +60,10 @@ class ModelConfig:
     # space-to-depth U-Net (0 = off). Recovers the sub-pixel detail the
     # s2d output head loses, at a tiny fraction of full-res U-Net cost.
     refine_width: int = 0
+    # separable refinement conv2 (depthwise 3x3 + pointwise 1x1) instead
+    # of the dense 3x3: ~w/9x fewer FLOPs in the head's dominant matmul.
+    # Training-time architecture choice (checkpoints record it).
+    refine_depthwise: bool = False
     # spatial rearrange factor AT WHICH the refinement head runs: 1 = full
     # resolution (maximum sub-pixel detail), space_to_depth = fully in s2d
     # layout (fastest — XLA pads thin-channel full-res tensors heavily in

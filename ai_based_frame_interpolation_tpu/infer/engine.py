@@ -158,10 +158,17 @@ class InterpolationEngine:
             y = self.model.apply(variables, x1, x2, train=False,
                                  skip_refine=True)
             p = variables["params"]
-            out = refine_head_fused(y.astype(jnp.float32), x1, x2,
-                                    p["refine1"], p["refine2"],
-                                    p["refine_out"],
-                                    compute_dtype=self.compute_dtype)
+            if getattr(self.cfg, "refine_depthwise", False):
+                out = refine_head_fused(y.astype(jnp.float32), x1, x2,
+                                        p["refine1"], None, p["refine_out"],
+                                        refine2_dw=p["refine2_dw"],
+                                        refine2_pw=p["refine2_pw"],
+                                        compute_dtype=self.compute_dtype)
+            else:
+                out = refine_head_fused(y.astype(jnp.float32), x1, x2,
+                                        p["refine1"], p["refine2"],
+                                        p["refine_out"],
+                                        compute_dtype=self.compute_dtype)
         else:
             out = self.model.apply(variables, x1, x2, train=False)
         return out.astype(self.compute_dtype)

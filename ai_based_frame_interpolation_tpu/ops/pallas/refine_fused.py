@@ -2,15 +2,15 @@
 
 The production inference config (``ModelConfig(space_to_depth=4,
 refine_width=64)``) runs a cheap s2d U-Net core and recovers sub-pixel
-detail with a 3-layer full-resolution head (``models/unet.py:224-254``):
+detail with a 3-layer full-resolution head (``models/unet.py:224-266``):
 
     z  = concat([prediction, frame1, frame2])        # [B,H,W,3]
     z1 = relu(conv3x3(z,  3 -> w))
-    z2 = relu(conv3x3(z1, w -> w))
+    z2 = relu(conv3x3(z1, w -> w))          # dense, or depthwise+pointwise
     out = prediction + conv1x1(z2, w -> 1)
 
 Under XLA this head costs ~3.8 ms per 1080p midpoint — more than the whole
-s2d=4 U-Net core (~2.5 ms) — for two reasons: (a) XLA lane-pads the
+s2d=4 U-Net core (~2.2 ms) — for two reasons: (a) XLA lane-pads the
 3-channel input conv to 128 channels, making conv1 as expensive as conv2 on
 the MXU, and (b) the two w-channel full-resolution activations (267 MB each
 at 1080p/bf16) make four HBM round trips. This kernel fuses the whole head
@@ -30,12 +30,20 @@ sublanes — which is what makes the kernel Mosaic-friendly AND fast:
 - conv1 per z1-row is then ONE ``(w, 27) @ (27, W)`` MXU matmul whose RHS
   is a sublane-concat of all 27 single-row lane-slices (9 taps x 3 planes,
   one K<=128 pass — a third of the naive per-kx decomposition's passes);
-- conv2 packs tap PAIRS on the contraction axis across the full 9-tap set:
-  ``[W2_a^T | W2_b^T] (w,2w) @ [z1_a ; z1_b] (2w, W)``. With w=64 that is
-  five (64,128)@(128,W) MXU calls per output row (4 full pairs + 1 single)
-  with full 128-deep contraction — vs six per-kx calls, vs <30% MXU
-  utilization for XLA's lane-padded convolutions. Rotated z1 rows live in a
-  3-slot VMEM ring (the 3x3 conv's row window);
+- dense conv2 packs tap PAIRS on the contraction axis across the full
+  9-tap set: ``[W2_a^T | W2_b^T] (w,2w) @ [z1_a ; z1_b] (2w, W)``. With
+  w=64 that is five (64,128)@(128,W) MXU calls per output row (4 full
+  pairs + 1 single) with full 128-deep contraction — vs six per-kx calls,
+  vs <30% MXU utilization for XLA's lane-padded convolutions. Rotated z1
+  rows live in a 3-slot VMEM ring (the 3x3 conv's row window);
+- **depthwise-separable conv2** (``ModelConfig(refine_depthwise=True)``,
+  quality-equal by A/B) is far cheaper: the 9-tap depthwise filter runs on
+  the VPU — per-channel scalars commute with lane rotation, so per kx we
+  accumulate the 3 UNROTATED ky-rows and roll the partial sum once
+  (``roll(sum_ky wdw*z1) == sum over taps of wdw*rolled``), needing no
+  rotated ring at all — and the pointwise 1x1 is a single ``(w,w) @ (w,W)``
+  MXU pass per row (one pass vs the dense path's five; VPU depthwise
+  overlaps MXU work across rows);
 - the 1x1 output conv is a channels-are-sublanes reduction on the VPU (an
   MXU matmul with 1 output channel would waste 127/128 lanes), and its
   result is already width-on-lanes — exactly the output DMA layout;
@@ -55,7 +63,7 @@ the shared fixture) at s2d speed; the reference has no analogous subsystem
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -98,11 +106,17 @@ def _roll_lanes(x: jax.Array, kx: int):
     return pltpu.roll(x.astype(jnp.float32), n - kx, axis=1).astype(x.dtype)
 
 
-def _kernel(z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref, w3_ref, b3_ref,
-            o_hbm, zt, zrm, z1m, ygt, ot, sems, *, th: int, height: int,
-            width: int, wp: int, w: int, pack: int, groups, cdt):
+def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
+            pack: int, groups, cdt, depthwise: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if depthwise:
+        (z_hbm, yg_hbm, w1t_ref, b1_ref, wdw_ref, bdw_ref, wpw_ref, bpw_ref,
+         w3_ref, b3_ref, o_hbm, zt, zrm, z1m, ygt, ot, sems) = args
+    else:
+        (z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref,
+         w3_ref, b3_ref, o_hbm, zt, zrm, z1m, ygt, ot, sems) = args
 
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -148,30 +162,54 @@ def _kernel(z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref, w3_ref, b3_ref,
         return jnp.where(ok, row, jnp.zeros_like(row))
 
     def fill(r):
-        """Compute z1 row r and park its three rotations in the ring
-        (slot r % 3 — a row's last reader is output row r, by which time
-        the next occupant, row r+3, has not yet been written)."""
+        """Compute z1 row r and park it (plus, for the dense path, its two
+        rotations) in the ring (slot r % 3 — a row's last reader is output
+        row r, by which time the next occupant, row r+3, is unwritten).
+        The depthwise ring holds f32 (one bf16 round-trip at fill instead
+        of nine up-casts at use; the bf16 rounding keeps Flax parity)."""
         base = jnp.pad(z1_row(r), ((0, 0), (0, wp - w1_)))
         s = r % 3
-        z1m[0, s] = base
-        for kx in (1, 2):
-            z1m[kx, s] = _roll_lanes(base, kx)
+        z1m[0, s] = base.astype(z1m.dtype)
+        if not depthwise:
+            for kx in (1, 2):
+                z1m[kx, s] = _roll_lanes(base, kx)
 
     fill(0)
     fill(1)
     w3col = w3_ref[...]
+    if depthwise:
+        wdw = wdw_ref[...]               # (9, w, 1) f32, tap = ky*3 + kx
     for t in range(th):
         fill(t + 2)
-        acc = jnp.zeros((w, w1_), jnp.float32)
-        for gi, group in enumerate(groups):
-            parts = [z1m[kx, (t + ky) % 3][:, :w1_] for ky, kx in group]
-            while len(parts) < pack:        # zero-padded short group
-                parts.append(parts[0])
-            rhs = parts[0] if pack == 1 else jnp.concatenate(parts, axis=0)
-            acc = acc + jax.lax.dot_general(
-                w2g_ref[gi], rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+        if depthwise:
+            # depthwise 3x3 on the VPU: scalar-per-channel weights commute
+            # with the lane rotation, so sum the UNROTATED ky-rows per kx
+            # and roll the partial sum once
+            acc = None
+            for kx in range(3):
+                s = None
+                for ky in range(3):
+                    term = wdw[ky * 3 + kx] * z1m[0, (t + ky) % 3][:, :w1_]
+                    s = term if s is None else s + term
+                s = _roll_lanes(s, kx)
+                acc = s if acc is None else acc + s
+            zdw = acc.astype(cdt) + bdw_ref[...]               # (w, W+2)
+            acc2 = jax.lax.dot_general(
+                wpw_ref[...], zdw, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        z2t = jax.nn.relu(acc.astype(cdt) + b2_ref[...])       # (w, W+2)
+            z2t = jax.nn.relu(acc2.astype(cdt) + bpw_ref[...])
+        else:
+            acc = jnp.zeros((w, w1_), jnp.float32)
+            for gi, group in enumerate(groups):
+                parts = [z1m[kx, (t + ky) % 3][:, :w1_] for ky, kx in group]
+                while len(parts) < pack:        # zero-padded short group
+                    parts.append(parts[0])
+                rhs = parts[0] if pack == 1 else jnp.concatenate(parts, axis=0)
+                acc = acc + jax.lax.dot_general(
+                    w2g_ref[gi], rhs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            z2t = jax.nn.relu(acc.astype(cdt) + b2_ref[...])   # (w, W+2)
         delta = jnp.sum(z2t.astype(jnp.float32) * w3col, axis=0,
                         keepdims=True) + b3_ref[0, 0]          # (1, W+2)
         dpad = jnp.pad(delta, ((0, 0), (0, wp - delta.shape[1])))
@@ -185,15 +223,20 @@ def _kernel(z_hbm, yg_hbm, w1t_ref, b1_ref, w2g_ref, b2_ref, w3_ref, b3_ref,
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
 def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
-                      refine1: dict, refine2: dict, refine_out: dict,
+                      refine1: dict, refine2: Optional[dict],
+                      refine_out: dict,
+                      refine2_dw: Optional[dict] = None,
+                      refine2_pw: Optional[dict] = None,
                       compute_dtype=jnp.bfloat16,
                       interpret: bool = False) -> jax.Array:
     """Apply the refinement head, fused. Same math as the Flax branch at
-    ``models/unet.py:236-254`` with ``refine_factor=1``, grayscale.
+    ``models/unet.py:234-266`` with ``refine_factor=1``, grayscale.
 
     y_full : [B, H, W, 1] f32  pre-refine full-res prediction (``skip_refine``)
     f1n/f2n: [B, H, W, 1]      normalized input frames (compute dtype)
-    refine*: the Flax param subtrees ({kernel, bias})
+    refine1/refine2/refine_out: the Flax param subtrees ({kernel, bias});
+        pass ``refine2=None`` with ``refine2_dw``/``refine2_pw`` for the
+        depthwise-separable head (``ModelConfig(refine_depthwise=True)``)
     returns: [B, H, W, 1] in ``compute_dtype``
     """
     import jax.experimental.pallas as pl
@@ -202,33 +245,67 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
     cdt = compute_dtype
     bsz, h, wd, _ = y_full.shape
     th = _tile_h(h)
+    depthwise = depthwise_mode = refine2_dw is not None
 
     w1 = refine1["kernel"]                      # (3, 3, 3, w)
     w = int(w1.shape[-1])
-    # conv2 tap groups: packed on the contraction axis across the full
-    # (ky, kx) tap set — legal because rotated z1 rows are scratch-
-    # materialized (offset-0), so concat operands may mix kx classes
-    taps = [(ky, kx) for ky in range(3) for kx in range(3)]
-    pack = max(1, min(9, 128 // w))
-    groups = [tuple(taps[g:g + pack]) for g in range(0, 9, pack)]
 
     # conv1 weights as one (w, 27) lhs; RHS rows ordered ky-major,
     # plane-minor, kx-minor to match the kernel's concat order. Flax conv
     # kernels are (kh, kw, cin, cout) = (ky, kx, plane, w).
     w1t = w1.transpose(0, 2, 1, 3).reshape(27, w).T.astype(cdt)   # (w, 27)
     b1 = refine1["bias"].reshape(w, 1).astype(cdt)
-    w2 = refine2["kernel"].astype(cdt)                            # (3,3,w,w)
-    gmats = []
-    for group in groups:
-        mats = [w2[ky, kx].T for ky, kx in group]
-        while len(mats) < pack:                 # zero-pad the short group
-            mats.append(jnp.zeros_like(mats[0]))
-        gmats.append(jnp.concatenate(mats, axis=1))               # (w, pack*w)
-    w2g = jnp.stack(gmats)                      # (ngroups, w, pack*w)
-    ngroups = len(groups)
-    b2 = refine2["bias"].reshape(w, 1).astype(cdt)
     w3 = refine_out["kernel"].reshape(w, 1).astype(jnp.float32)
     b3 = refine_out["bias"].reshape(1, 1).astype(jnp.float32)
+
+    if depthwise:
+        pack, groups, ngroups = 1, (), 0
+        # (3, 3, 1, w) -> (9, w, 1), tap index ky*3 + kx. Round to the
+        # compute dtype first (the Flax conv applies bf16 weights), then
+        # up-cast: the VPU FMA runs in f32
+        wdw = (refine2_dw["kernel"].reshape(9, w, 1)
+               .astype(cdt).astype(jnp.float32))
+        bdw = refine2_dw["bias"].reshape(w, 1).astype(cdt)
+        wpw = refine2_pw["kernel"].reshape(w, w).T.astype(cdt)    # (out, in)
+        bpw = refine2_pw["bias"].reshape(w, 1).astype(cdt)
+        head_in = [wdw, bdw, wpw, bpw]
+        head_specs = [
+            pl.BlockSpec((9, w, 1), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),             # wdw
+            pl.BlockSpec((w, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # bdw
+            pl.BlockSpec((w, w), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # wpw
+            pl.BlockSpec((w, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # bpw
+        ]
+        ring = 1                                # unrotated rows only
+    else:
+        # conv2 tap groups: packed on the contraction axis across the full
+        # (ky, kx) tap set — legal because rotated z1 rows are scratch-
+        # materialized (offset-0), so concat operands may mix kx classes
+        taps = [(ky, kx) for ky in range(3) for kx in range(3)]
+        pack = max(1, min(9, 128 // w))
+        groups = [tuple(taps[g:g + pack]) for g in range(0, 9, pack)]
+        w2 = refine2["kernel"].astype(cdt)                        # (3,3,w,w)
+        gmats = []
+        for group in groups:
+            mats = [w2[ky, kx].T for ky, kx in group]
+            while len(mats) < pack:                 # zero-pad the short group
+                mats.append(jnp.zeros_like(mats[0]))
+            gmats.append(jnp.concatenate(mats, axis=1))           # (w, pack*w)
+        w2g = jnp.stack(gmats)                      # (ngroups, w, pack*w)
+        ngroups = len(groups)
+        b2 = refine2["bias"].reshape(w, 1).astype(cdt)
+        head_in = [w2g, b2]
+        head_specs = [
+            pl.BlockSpec((ngroups, w, pack * w),
+                         lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),             # w2g
+            pl.BlockSpec((w, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),             # b2
+        ]
+        ring = 3                                # base + two rotations
 
     # the DMA engine requires minor-dim extents to be multiples of 128
     # whenever another dim of the same array is sliced -> pad all three
@@ -244,7 +321,8 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
 
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, height=h, width=wd, wp=wp, w=w,
-                          pack=pack, groups=tuple(groups), cdt=cdt),
+                          pack=pack, groups=tuple(groups), cdt=cdt,
+                          depthwise=depthwise),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),              # zp
@@ -253,11 +331,7 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
                          memory_space=pltpu.VMEM),             # w1t
             pl.BlockSpec((w, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # b1
-            pl.BlockSpec((ngroups, w, pack * w),
-                         lambda b, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),             # w2g
-            pl.BlockSpec((w, 1), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),             # b2
+            *head_specs,
             pl.BlockSpec((w, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # w3
             pl.BlockSpec((1, 1), lambda b, i: (0, 0),
@@ -268,11 +342,12 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((3, th + 8, wp), cdt),                  # zt
             pltpu.VMEM((3, 3, th + 8, wp), cdt),               # zrm
-            pltpu.VMEM((3, 3, w, wp), cdt),                    # z1m ring
+            pltpu.VMEM((ring, 3, w, wp),
+                       jnp.float32 if depthwise_mode else cdt),  # z1m ring
             pltpu.VMEM((th, wp), jnp.float32),                 # ygt
             pltpu.VMEM((th, wp), cdt),                         # ot
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(zp, yg, w1t, b1, w2g, b2, w3, b3)
+    )(zp, yg, w1t, b1, *head_in, w3, b3)
     return out[:, :, :wd, None]

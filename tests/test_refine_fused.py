@@ -37,11 +37,20 @@ def _compare(rng, cfg, h, w, batch=2):
                                             skip_refine=True))(
         variables, f1, f2)
     p = variables["params"]
-    fused = refine_head_fused(y.astype(jnp.float32),
-                              f1.astype(jnp.bfloat16),
-                              f2.astype(jnp.bfloat16),
-                              p["refine1"], p["refine2"], p["refine_out"],
-                              interpret=True)
+    if getattr(cfg, "refine_depthwise", False):
+        fused = refine_head_fused(y.astype(jnp.float32),
+                                  f1.astype(jnp.bfloat16),
+                                  f2.astype(jnp.bfloat16),
+                                  p["refine1"], None, p["refine_out"],
+                                  refine2_dw=p["refine2_dw"],
+                                  refine2_pw=p["refine2_pw"],
+                                  interpret=True)
+    else:
+        fused = refine_head_fused(y.astype(jnp.float32),
+                                  f1.astype(jnp.bfloat16),
+                                  f2.astype(jnp.bfloat16),
+                                  p["refine1"], p["refine2"], p["refine_out"],
+                                  interpret=True)
     a = np.asarray(fused, np.float32)
     b = np.asarray(full, np.float32)
     # the kernel splits conv1 into three per-kx matmuls, so f32 summation
@@ -76,6 +85,39 @@ def test_interpret_th8_fallback(rng):
     # h=40 is 8-row-tileable but not 16 => the th=8 tile path
     with jax.default_device(CPU):
         _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 40, 64)
+
+
+def test_interpret_depthwise_head(rng):
+    # separable conv2: VPU depthwise via output-roll + single pointwise
+    # matmul; parity vs the Flax refine_depthwise branch
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=16,
+                                  refine_depthwise=True, residual=True),
+                 32, 64, batch=1)
+
+
+def test_interpret_depthwise_w64(rng):
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=64,
+                                  refine_depthwise=True), 32, 64, batch=1)
+
+
+def test_engine_routes_depthwise(rng):
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+
+    cfg = ModelConfig(space_to_depth=2, refine_width=16, base_width=4,
+                      residual=True, refine_depthwise=True)
+    auto = InterpolationEngine.random_init(cfg)
+    xla = InterpolationEngine(auto.model, auto.variables, fold=False,
+                              refine_impl="xla")
+    f1 = rng.integers(0, 255, (96, 160, 1), np.uint8)
+    f2 = rng.integers(0, 255, (96, 160, 1), np.uint8)
+    a = auto.interpolate_pair(f1, f2).astype(np.int16)
+    b = xla.interpolate_pair(f1, f2).astype(np.int16)
+    d = np.abs(a - b)
+    assert float((d <= 1).mean()) > 0.999, float((d <= 1).mean())
+    assert int(d.max()) <= 3, int(d.max())
 
 
 def test_eligibility_gate():
