@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--refine-depthwise", action="store_true",
                         help="separable refine conv2 (matches a checkpoint "
                              "trained with --refine-depthwise)")
+        sp.add_argument("--base-width", type=int, default=None,
+                        help="first-stage width (default: from checkpoint, "
+                             "else 64 = reference parity)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -88,6 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--refine-depthwise", action="store_true",
                    help="separable refine conv2 (depthwise+pointwise): "
                         "much cheaper head at 1080p")
+    t.add_argument("--base-width", type=int, default=64,
+                   help="first-stage width (64 = reference parity; the "
+                        "1080p core is HBM-bound on the width-64 top "
+                        "level, so narrower trains may run ~proportionally "
+                        "faster)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
@@ -190,7 +198,8 @@ def _load_engine(args, allow_random: bool = False):
                           upsample=getattr(args, "upsample", None)
                           or "align_corners",
                           refine_depthwise=getattr(args, "refine_depthwise",
-                                                   False))
+                                                   False),
+                          base_width=getattr(args, "base_width", None) or 64)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -249,7 +258,8 @@ def cmd_train(args) -> int:
                        refine_width=args.refine_width,
                        refine_factor=args.refine_factor,
                        upsample=args.upsample,
-                       refine_depthwise=args.refine_depthwise)
+                       refine_depthwise=args.refine_depthwise,
+                       base_width=args.base_width)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir)

@@ -80,18 +80,19 @@ def _tile_h(h: int) -> int:
 
 
 def eligible(shape, cfg=None) -> bool:
-    """Static-shape eligibility: grayscale NHWC with 8-row-tileable height.
+    """Static-shape eligibility: gray/RGB NHWC with 8-row-tileable height.
 
     Every padded engine shape qualifies (``cfg.pad_multiple`` is 32+
     whenever a refine head exists, because ``space_to_depth >= 2``).
     """
-    if len(shape) != 4 or shape[-1] != 1:
+    if len(shape) != 4 or shape[-1] not in (1, 3):
         return False
     h, w = shape[-3], shape[-2]
     ok = h >= 8 and h % 8 == 0 and w >= 16
     if cfg is not None:
         ok = ok and (cfg.refine_width > 0 and cfg.refine_factor == 1
-                     and cfg.space_to_depth > 1 and cfg.channels == 1
+                     and cfg.space_to_depth > 1
+                     and cfg.channels == shape[-1]
                      and getattr(cfg, "arch", "unet") == "unet")
     return ok
 
@@ -107,7 +108,7 @@ def _roll_lanes(x: jax.Array, kx: int):
 
 
 def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
-            pack: int, groups, cdt, depthwise: bool):
+            pack: int, groups, cdt, depthwise: bool, ch: int, nplanes: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -128,7 +129,7 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
     cin = pltpu.make_async_copy(
         z_hbm.at[b, :, pl.ds(r0, th + 8), :], zt, sems.at[0])
     cyg = pltpu.make_async_copy(
-        yg_hbm.at[b, pl.ds(r0, th), :], ygt, sems.at[1])
+        yg_hbm.at[b, :, pl.ds(r0, th), :], ygt, sems.at[1])
     cin.start()
     cyg.start()
     cin.wait()
@@ -137,10 +138,10 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
     # planes, pre-rolled for the three horizontal taps and materialized via
     # the scratch round trip (clears the rotation's lazy lane offset, so the
     # 27-operand conv1 concat below mixes kx classes legally)
-    for p in range(3):
+    for p in range(nplanes):
         for kx in range(3):
             zrm[p, kx] = _roll_lanes(zt[p], kx)
-    zr = [[zrm[p, kx] for kx in range(3)] for p in range(3)]
+    zr = [[zrm[p, kx] for kx in range(3)] for p in range(nplanes)]
 
     # column mask: z1 lane j is frame column j-1; zero outside the image
     # (SAME-conv border semantics for the second conv's input)
@@ -152,7 +153,8 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
         (w, 27) @ (27, W+2) MXU pass over the 27-row im2col concat."""
         a = jnp.concatenate(
             [zr[p][kx][r + ky:r + ky + 1, :w1_]
-             for ky in range(3) for p in range(3) for kx in range(3)], axis=0)
+             for ky in range(3) for p in range(nplanes) for kx in range(3)],
+            axis=0)
         d = jax.lax.dot_general(
             w1t_ref[...], a, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -210,12 +212,14 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             z2t = jax.nn.relu(acc.astype(cdt) + b2_ref[...])   # (w, W+2)
-        delta = jnp.sum(z2t.astype(jnp.float32) * w3col, axis=0,
-                        keepdims=True) + b3_ref[0, 0]          # (1, W+2)
-        dpad = jnp.pad(delta, ((0, 0), (0, wp - delta.shape[1])))
-        ot[pl.ds(t, 1), :] = (ygt[pl.ds(t, 1), :] + dpad).astype(ot.dtype)
+        for c in range(ch):
+            delta = jnp.sum(z2t.astype(jnp.float32) * w3col[:, c:c + 1],
+                            axis=0, keepdims=True) + b3_ref[c, 0]  # (1, W+2)
+            dpad = jnp.pad(delta, ((0, 0), (0, wp - delta.shape[1])))
+            ot[c, pl.ds(t, 1), :] = (ygt[c, pl.ds(t, 1), :] +
+                                     dpad).astype(ot.dtype)
 
-    cout = pltpu.make_async_copy(ot, o_hbm.at[b, pl.ds(r0, th), :],
+    cout = pltpu.make_async_copy(ot, o_hbm.at[b, :, pl.ds(r0, th), :],
                                  sems.at[2])
     cout.start()
     cout.wait()
@@ -232,31 +236,35 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
     """Apply the refinement head, fused. Same math as the Flax branch at
     ``models/unet.py:234-266`` with ``refine_factor=1``, grayscale.
 
-    y_full : [B, H, W, 1] f32  pre-refine full-res prediction (``skip_refine``)
-    f1n/f2n: [B, H, W, 1]      normalized input frames (compute dtype)
+    y_full : [B, H, W, C] f32  pre-refine full-res prediction
+        (``skip_refine``), C in {1, 3}
+    f1n/f2n: [B, H, W, C]      normalized input frames (compute dtype)
     refine1/refine2/refine_out: the Flax param subtrees ({kernel, bias});
         pass ``refine2=None`` with ``refine2_dw``/``refine2_pw`` for the
         depthwise-separable head (``ModelConfig(refine_depthwise=True)``)
-    returns: [B, H, W, 1] in ``compute_dtype``
+    returns: [B, H, W, C] in ``compute_dtype``
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     cdt = compute_dtype
-    bsz, h, wd, _ = y_full.shape
+    bsz, h, wd, ch = y_full.shape
+    nplanes = 3 * ch                            # [pred | f1 | f2] per channel
     th = _tile_h(h)
     depthwise = depthwise_mode = refine2_dw is not None
 
-    w1 = refine1["kernel"]                      # (3, 3, 3, w)
+    w1 = refine1["kernel"]                      # (3, 3, 3*ch, w)
     w = int(w1.shape[-1])
 
-    # conv1 weights as one (w, 27) lhs; RHS rows ordered ky-major,
-    # plane-minor, kx-minor to match the kernel's concat order. Flax conv
-    # kernels are (kh, kw, cin, cout) = (ky, kx, plane, w).
-    w1t = w1.transpose(0, 2, 1, 3).reshape(27, w).T.astype(cdt)   # (w, 27)
+    # conv1 weights as one (w, 9*nplanes) lhs (27 gray / 81 RGB — one K-pass
+    # either way); RHS rows ordered ky-major, plane-minor, kx-minor to match
+    # the kernel's concat order. Flax conv kernels are (kh, kw, cin, cout) =
+    # (ky, kx, plane, w).
+    w1t = (w1.transpose(0, 2, 1, 3).reshape(9 * nplanes, w)
+           .T.astype(cdt))                      # (w, 9*nplanes)
     b1 = refine1["bias"].reshape(w, 1).astype(cdt)
-    w3 = refine_out["kernel"].reshape(w, 1).astype(jnp.float32)
-    b3 = refine_out["bias"].reshape(1, 1).astype(jnp.float32)
+    w3 = refine_out["kernel"].reshape(w, ch).astype(jnp.float32)
+    b3 = refine_out["bias"].reshape(ch, 1).astype(jnp.float32)
 
     if depthwise:
         pack, groups, ngroups = 1, (), 0
@@ -311,43 +319,45 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
     # whenever another dim of the same array is sliced -> pad all three
     # HBM-resident tensors' widths up front (1080p/720p/256^2 need none)
     wp = -(-(wd + 4) // 128) * 128
-    yg = jnp.pad(y_full[..., 0].astype(jnp.float32),
-                 ((0, 0), (0, 0), (0, wp - wd)))               # (B, H, WP)
-    # plane-major stack (prediction, frame1, frame2) with the 2-px halo
-    # pre-padded; full rows DMA cleanly (no minor-dim slicing)
-    z = jnp.stack([y_full[..., 0].astype(cdt), f1n[..., 0].astype(cdt),
-                   f2n[..., 0].astype(cdt)], axis=1)           # (B, 3, H, W)
+    yg = jnp.pad(y_full.transpose(0, 3, 1, 2).astype(jnp.float32),
+                 ((0, 0), (0, 0), (0, 0), (0, wp - wd)))       # (B, C, H, WP)
+    # plane-major stack (prediction, frame1, frame2 — per channel) with the
+    # 2-px halo pre-padded; full rows DMA cleanly (no minor-dim slicing)
+    z = jnp.concatenate([y_full.transpose(0, 3, 1, 2).astype(cdt),
+                         f1n.transpose(0, 3, 1, 2).astype(cdt),
+                         f2n.transpose(0, 3, 1, 2).astype(cdt)],
+                        axis=1)                                # (B, 3C, H, W)
     zp = jnp.pad(z, ((0, 0), (0, 0), (2, 6), (2, wp - wd - 2)))
 
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, height=h, width=wd, wp=wp, w=w,
                           pack=pack, groups=tuple(groups), cdt=cdt,
-                          depthwise=depthwise),
+                          depthwise=depthwise, ch=ch, nplanes=nplanes),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),              # zp
             pl.BlockSpec(memory_space=pltpu.ANY),              # yg
-            pl.BlockSpec((w, 27), lambda b, i: (0, 0),
+            pl.BlockSpec((w, 9 * nplanes), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # w1t
             pl.BlockSpec((w, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # b1
             *head_specs,
-            pl.BlockSpec((w, 1), lambda b, i: (0, 0),
+            pl.BlockSpec((w, ch), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # w3
-            pl.BlockSpec((1, 1), lambda b, i: (0, 0),
+            pl.BlockSpec((ch, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),             # b3
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, wp), cdt),
+        out_shape=jax.ShapeDtypeStruct((bsz, ch, h, wp), cdt),
         scratch_shapes=[
-            pltpu.VMEM((3, th + 8, wp), cdt),                  # zt
-            pltpu.VMEM((3, 3, th + 8, wp), cdt),               # zrm
+            pltpu.VMEM((nplanes, th + 8, wp), cdt),            # zt
+            pltpu.VMEM((nplanes, 3, th + 8, wp), cdt),         # zrm
             pltpu.VMEM((ring, 3, w, wp),
                        jnp.float32 if depthwise_mode else cdt),  # z1m ring
-            pltpu.VMEM((th, wp), jnp.float32),                 # ygt
-            pltpu.VMEM((th, wp), cdt),                         # ot
+            pltpu.VMEM((ch, th, wp), jnp.float32),             # ygt
+            pltpu.VMEM((ch, th, wp), cdt),                     # ot
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )(zp, yg, w1t, b1, *head_in, w3, b3)
-    return out[:, :, :wd, None]
+    return out[:, :, :, :wd].transpose(0, 2, 3, 1)

@@ -20,17 +20,19 @@ from ai_based_frame_interpolation_tpu.ops.pallas.refine_fused import (
 CPU = jax.devices("cpu")[0]
 
 
-def _setup(rng, cfg, h, w, batch=2):
+def _setup(rng, cfg, h, w, batch=2, channels=1):
     model = build_model(cfg, jnp.bfloat16)
-    f1 = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, 1)).astype(np.float32))
-    f2 = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, 1)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, channels))
+                     .astype(np.float32))
+    f2 = jnp.asarray(rng.uniform(-1, 1, (batch, h, w, channels))
+                     .astype(np.float32))
     variables = jax.jit(
         lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f1, f1)
     return model, variables, f1, f2
 
 
-def _compare(rng, cfg, h, w, batch=2):
-    model, variables, f1, f2 = _setup(rng, cfg, h, w, batch)
+def _compare(rng, cfg, h, w, batch=2, channels=1):
+    model, variables, f1, f2 = _setup(rng, cfg, h, w, batch, channels)
     full = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(
         variables, f1, f2)
     y = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False,
@@ -87,6 +89,21 @@ def test_interpret_th8_fallback(rng):
         _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 40, 64)
 
 
+def test_interpret_rgb(rng):
+    # channels=3: 9 input planes, 81-deep conv1 pass, per-channel output
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8,
+                                  channels=3, residual=True), 32, 64,
+                 batch=1, channels=3)
+
+
+def test_interpret_rgb_depthwise(rng):
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=16,
+                                  channels=3, refine_depthwise=True), 32, 64,
+                 batch=1, channels=3)
+
+
 def test_interpret_depthwise_head(rng):
     # separable conv2: VPU depthwise via output-roll + single pointwise
     # matmul; parity vs the Flax refine_depthwise branch
@@ -100,6 +117,24 @@ def test_interpret_depthwise_w64(rng):
     with jax.default_device(CPU):
         _compare(rng, ModelConfig(space_to_depth=2, refine_width=64,
                                   refine_depthwise=True), 32, 64, batch=1)
+
+
+def test_engine_routes_rgb(rng):
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+
+    cfg = ModelConfig(space_to_depth=2, refine_width=8, base_width=4,
+                      channels=3, residual=True)
+    auto = InterpolationEngine.random_init(cfg)
+    xla = InterpolationEngine(auto.model, auto.variables, fold=False,
+                              refine_impl="xla")
+    f1 = rng.integers(0, 255, (96, 160, 3), np.uint8)
+    f2 = rng.integers(0, 255, (96, 160, 3), np.uint8)
+    a = auto.interpolate_pair(f1, f2).astype(np.int16)
+    b = xla.interpolate_pair(f1, f2).astype(np.int16)
+    d = np.abs(a - b)
+    assert float((d <= 1).mean()) > 0.999, float((d <= 1).mean())
+    assert int(d.max()) <= 3, int(d.max())
 
 
 def test_engine_routes_depthwise(rng):
@@ -125,7 +160,10 @@ def test_eligibility_gate():
     assert eligible((2, 1088, 1920, 1), cfg)
     assert eligible((1, 256, 256, 1), cfg)
     assert not eligible((1, 1084, 1920, 1), cfg)      # H % 8 != 0
-    assert not eligible((1, 256, 256, 3), cfg)        # RGB
+    assert not eligible((1, 256, 256, 3), cfg)        # channel mismatch
+    assert eligible((1, 256, 256, 3),
+                    ModelConfig(space_to_depth=4, refine_width=64,
+                                channels=3))          # RGB eligible
     assert not eligible((2, 1088, 1920, 1), ModelConfig())  # no refine head
     assert not eligible(
         (2, 1088, 1920, 1),
