@@ -329,6 +329,13 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
                         axis=1)                                # (B, 3C, H, W)
     zp = jnp.pad(z, ((0, 0), (0, 0), (2, 6), (2, wp - wd - 2)))
 
+    # 4K rows (wp ~ 3968) push the working set past the 16 MB default
+    # scoped-VMEM budget; the physical VMEM is larger — raise the cap for
+    # wide frames (Mosaic rejects the kernel otherwise)
+    kwargs = {}
+    if wp > 2048:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, height=h, width=wd, wp=wp, w=w,
                           pack=pack, groups=tuple(groups), cdt=cdt,
@@ -359,5 +366,6 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
+        **kwargs,
     )(zp, yg, w1t, b1, *head_in, w3, b3)
     return out[:, :, :, :wd].transpose(0, 2, 3, 1)
