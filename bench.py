@@ -92,7 +92,7 @@ def main(argv=None):
                    help="interpolation factor (power of two): 2 or 4")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--batches", type=int, nargs="+",
-                   default=[64, 48, 32, 24, 16, 8, 4, 2, 1])
+                   default=[128, 96, 64, 32, 24, 16, 8, 4, 2, 1])
     args = p.parse_args(argv)
 
     from ai_based_frame_interpolation_tpu.config import ModelConfig
