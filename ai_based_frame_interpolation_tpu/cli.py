@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--dtype", default="bfloat16",
                         choices=("bfloat16", "float32"),
                         help="compute dtype on device")
-        sp.add_argument("--s2d", type=int, default=None, choices=(1, 2, 4),
+        sp.add_argument("--s2d", type=int, default=None, choices=(1, 2, 4, 8),
                         help="space-to-depth stem (1=reference parity; "
                              "2/4=high-res speed variants; default: from "
                              "checkpoint, else 1)")
@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--height", type=int, default=256)
     t.add_argument("--width", type=int, default=256)
     t.add_argument("--channels", type=int, default=1, choices=(1, 3))
-    t.add_argument("--s2d", type=int, default=1, choices=(1, 2, 4),
+    t.add_argument("--s2d", type=int, default=1, choices=(1, 2, 4, 8),
                    help="space-to-depth stem (1=reference parity)")
     t.add_argument("--arch", default="unet", choices=("unet", "tower"),
                    help="model family: unet (reference parity) | tower "
@@ -243,6 +243,18 @@ def cmd_train(args) -> int:
                          f"(found {len(triplets)}; need frame_*.png videos "
                          "with >= 3 frames)")
     train_t, val_t = split_triplets(triplets, args.val_split, args.seed)
+    if batch > len(train_t):
+        # the train loader drops the remainder for static jit shapes, so a
+        # batch larger than the train set would yield ZERO steps per epoch
+        clamped = (len(train_t) // n_dev) * n_dev
+        if clamped == 0:
+            raise SystemExit(
+                f"error: only {len(train_t)} train triplets for {n_dev} "
+                "devices; add data or reduce --num-devices/--val-split")
+        print(f"note: batch size clamped to {clamped} "
+              f"(only {len(train_t)} train triplets; drop-remainder "
+              "batching would otherwise yield zero steps/epoch)")
+        batch = clamped
     print(f"dataset: {len(triplets)} triplets "
           f"({len(train_t)} train / {len(val_t)} val), "
           f"{n_dev}-device mesh, global batch {batch}")

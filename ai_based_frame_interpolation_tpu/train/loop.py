@@ -175,6 +175,14 @@ def train_model(model: FrameInterpolationUNet, variables,
     """
     if mesh is None:
         mesh = make_mesh()
+    try:
+        if len(train_loader) == 0:
+            raise ValueError(
+                "train loader yields zero batches per epoch (batch size "
+                "larger than the train set with drop_remainder): every "
+                "epoch would be a no-op with train loss nan")
+    except TypeError:
+        pass  # plain iterables without __len__: checked lazily below
     if state is None:
         state = create_train_state(model, variables, cfg)
         # replicate the state across the mesh once, up front

@@ -181,3 +181,20 @@ def test_convert_roundtrip(tmp_path):
     np.testing.assert_allclose(
         re["model_state_dict"]["unet.inc.double_conv.0.weight"].numpy(),
         np.asarray(sd["unet.inc.double_conv.0.weight"]))
+
+
+def test_train_batch_larger_than_dataset_clamps(tmp_path, capsys):
+    # a batch size above the train-set size would drop every (partial) batch
+    # => zero steps/epoch; the CLI clamps it with a note instead
+    root = str(tmp_path / "data")
+    write_fixture_tree(root, num_videos=1, num_frames=6, height=32, width=32)
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(["train", "--data-dir", root, "--epochs", "1",
+               "--batch-size", "64", "--val-split", "0.25",
+               "--height", "32", "--width", "32", "--checkpoint-dir", ckpt,
+               "--num-devices", "1", "--num-workers", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "clamped to 3" in out
+    assert "train nan" not in out
+    assert os.path.isdir(os.path.join(ckpt, "best"))

@@ -142,3 +142,21 @@ def test_end_to_end_training_learns_and_resumes(tmp_path):
     assert int(state2.step) == int(state.step)
     np.testing.assert_allclose(np.asarray(jax.tree.leaves(state2.params)[0]),
                                np.asarray(jax.tree.leaves(state.params)[0]))
+
+
+def test_zero_batch_train_loader_rejected(tmp_path):
+    # batch size > train set with drop_remainder would silently yield zero
+    # steps per epoch (train loss nan forever); train_model must refuse
+    root = str(tmp_path / "data")
+    write_fixture_tree(root, num_videos=1, num_frames=5, height=32, width=32)
+    train_t, _ = split_triplets(scan_triplets(root), 0.34, seed=0)
+    loader = TripletLoader(train_t, batch_size=len(train_t) + 1,
+                           height=32, width=32, num_workers=1)
+    assert len(loader) == 0
+    model = FrameInterpolationUNet(cfg=TINY)
+    f = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f, f)
+    with pytest.raises(ValueError, match="zero batches"):
+        train_model(model, variables, loader, loader,
+                    TrainConfig(epochs=1), log_fn=lambda s: None)
