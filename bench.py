@@ -81,7 +81,9 @@ def main(argv=None):
                    help="space-to-depth stem: 4 = the production high-res "
                         "speed config (default; trains to parity quality "
                         "with the refine-64 head, SSIM 0.902 on the "
-                        "fixture); 1 = exact reference architecture")
+                        "fixture); 8 = max-throughput option (+49% at "
+                        "1080p, scenes SSIM -0.001 vs production; see "
+                        "docs/PERF.md); 1 = exact reference architecture")
     p.add_argument("--refine-width", type=int, default=64,
                    help="full-res refinement head width (production "
                         "default 64 — same speed as 16 because XLA "

@@ -98,6 +98,18 @@ def test_refine_head_shapes(s2d, g):
     assert out.shape == (2, 64, 64, 1)
 
 
+def test_s2d8_forward():
+    """s2d=8 (the 2x-throughput 1080p/4K speed stem, CLI ``--s2d 8``):
+    pad multiple is 128, core runs at H/8 x W/8 with 64x channels."""
+    cfg = ModelConfig(base_width=4, space_to_depth=8, refine_width=8,
+                      residual=True)
+    assert cfg.pad_multiple == 128
+    model, v = init_tiny(cfg, h=128, w=128)
+    f = jnp.zeros((1, 128, 128, 1))
+    out = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False))(v, f, f)
+    assert out.shape == (1, 128, 128, 1)
+
+
 def test_half_pixel_upsample_variant(rng):
     """upsample="half_pixel" (TPU-native decoder grid) builds, runs, and
     produces a genuinely different function from align_corners — while
