@@ -391,6 +391,14 @@ def cmd_serve(args) -> int:
         raise SystemExit(f"error: cannot bind {args.host}:{args.port} ({e})")
     print(f"serving on http://{args.host}:{server.port}  "
           "(POST /interpolate, GET /, /health, /model-info)")
+    # production process managers stop services with SIGTERM; exit through
+    # the same clean path as Ctrl-C (drains the engine, closes the socket)
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

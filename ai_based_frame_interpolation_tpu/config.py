@@ -176,6 +176,13 @@ class ServeConfig:
     # reloaded the checkpoint (api/app.py:100); the warm in-process engine
     # answers in milliseconds after warmup, so nothing enforces this.
     request_timeout_s: float = 300.0
+    # continuous request batching (serve/batcher.py): concurrent requests
+    # that arrive while the device is busy are fused into one batched
+    # dispatch when it frees. max_batch bounds the fused batch;
+    # batch_window_ms adds an optional straggler wait before each dispatch
+    # (0 = zero-added-latency continuous batching only).
+    max_batch: int = 8
+    batch_window_ms: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -17,10 +17,13 @@ Architecture differences (all deliberate fixes):
   multipart parser): this image has no fastapi/uvicorn, and a serving layer
   with zero web-framework dependencies is one less moving part in production.
 
-Threading: decode/validation run on the HTTP worker threads; engine calls are
-serialized by an internal lock (single TPU). FastAPI compatibility: if
-``fastapi`` happens to be installed, ``make_fastapi_app`` in ``asgi.py``
-exposes the same contract as an ASGI app.
+Threading: decode/validation run on the HTTP worker threads; device access
+goes through a continuous-batching dispatcher (``serve/batcher.py``) that
+serializes the TPU AND fuses concurrent requests into one batched dispatch —
+requests arriving while the device is busy ride the next batch instead of
+queueing individually. FastAPI compatibility: if ``fastapi`` happens to be
+installed, ``make_fastapi_app`` in ``asgi.py`` exposes the same contract as
+an ASGI app (routed through the same batcher).
 """
 
 from __future__ import annotations
@@ -141,10 +144,15 @@ class InterpolationService:
 
     def __init__(self, engine, cfg: ServeConfig = ServeConfig(),
                  resolution: Tuple[int, int] = (256, 256)):
+        from .batcher import DynamicBatcher
+
         self.engine = engine
         self.cfg = cfg
         self.resolution = resolution
-        self._lock = threading.Lock()
+        # serializes device access AND fuses concurrent requests into
+        # batched dispatches (continuous batching, serve/batcher.py)
+        self.batcher = DynamicBatcher(engine, max_batch=cfg.max_batch,
+                                      window_ms=cfg.batch_window_ms)
         self.started_at = time.time()
         self.requests_served = 0
 
@@ -169,6 +177,7 @@ class InterpolationService:
         return {"status": "healthy",
                 "uptime_s": round(time.time() - self.started_at, 1),
                 "requests_served": self.requests_served,
+                "batching": self.batcher.stats,
                 "backend": _backend_name()}
 
     def model_info(self) -> dict:
@@ -199,8 +208,7 @@ class InterpolationService:
         f1 = decode_image_bytes(d1, grayscale, self.resolution)
         f2 = decode_image_bytes(d2, grayscale, self.resolution)
 
-        with self._lock:
-            mids = self.engine.generate_intermediate_frames(f1, f2, num)
+        mids = self.batcher.generate_intermediate_frames(f1, f2, num)
         frames = [f1, *mids, f2]
 
         from ..data.video import VideoWriter
@@ -233,8 +241,7 @@ class InterpolationService:
         grayscale = self.engine.cfg.channels == 1
         f1 = decode_image_bytes(d1, grayscale, self.resolution)
         f2 = decode_image_bytes(d2, grayscale, self.resolution)
-        with self._lock:
-            mids = self.engine.generate_intermediate_frames(f1, f2, num)
+        mids = self.batcher.generate_intermediate_frames(f1, f2, num)
 
         def b64png(img):
             img2d = img[..., 0] if img.shape[-1] == 1 else img[..., ::-1]
@@ -261,9 +268,8 @@ class InterpolationService:
                                        self.cfg.max_upload_bytes)
             imgs[field] = decode_image_bytes(
                 data, self.engine.cfg.channels == 1, self.resolution)
-        with self._lock:
-            preds = {"unet": self.engine.interpolate_pair(imgs["frame1"],
-                                                          imgs["frame2"])}
+        preds = {"unet": self.batcher.interpolate_pair(imgs["frame1"],
+                                                       imgs["frame2"])}
         preds["linear"] = linear_midpoint(imgs["frame1"], imgs["frame2"])
         preds["optical_flow"] = farneback_midpoint(imgs["frame1"],
                                                    imgs["frame2"])
