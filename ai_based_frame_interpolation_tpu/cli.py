@@ -97,6 +97,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "level, so narrower trains may run ~proportionally "
                         "faster)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--ema-decay", type=float, default=0.0,
+                   help="exponential moving average of the weights "
+                        "(0 = off; try 0.999). The EMA weights are what "
+                        "validation scores and what exports for inference")
+    t.add_argument("--augment", action="store_true",
+                   help="label-consistent train augmentation: random "
+                        "horizontal/vertical flips and temporal swap")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
                         "optimizer state, epoch, LR schedule)")
@@ -262,7 +269,8 @@ def cmd_train(args) -> int:
     kw = dict(batch_size=batch, height=args.height, width=args.width,
               grayscale=args.channels == 1, num_workers=args.num_workers,
               mesh=mesh)
-    train_loader = TripletLoader(train_t, seed=args.seed + 1, **kw)
+    train_loader = TripletLoader(train_t, seed=args.seed + 1,
+                                 augment=args.augment, **kw)
     val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False, **kw)
 
     mcfg = ModelConfig(arch=args.arch, channels=args.channels,
@@ -274,7 +282,8 @@ def cmd_train(args) -> int:
                        base_width=args.base_width)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
-                       seed=args.seed, checkpoint_dir=args.checkpoint_dir)
+                       seed=args.seed, checkpoint_dir=args.checkpoint_dir,
+                       ema_decay=args.ema_decay, augment=args.augment)
     model = build_model(mcfg)
     c = mcfg.channels
     f = jnp.zeros((1, args.height, args.width, c), jnp.float32)
@@ -295,11 +304,15 @@ def cmd_train(args) -> int:
                                  tcfg, mesh=mesh, checkpointer=ckpt,
                                  start_epoch=start_epoch, state=state,
                                  history=history)
-    # export best weights as inference variables + model config
+    # export best weights as inference variables + model config (EMA weights
+    # when enabled — they are what validation ranked)
     best_state, _, _ = ckpt.restore(create_train_state(model, variables, tcfg),
                                     which="best")
+    export_params = (best_state.ema_params
+                     if tcfg.ema_decay > 0 and best_state.ema_params != ()
+                     else best_state.params)
     save_variables(args.checkpoint_dir,
-                   {"params": best_state.params,
+                   {"params": export_params,
                     "batch_stats": best_state.batch_stats}, mcfg)
     print(f"checkpoints in {args.checkpoint_dir}/ "
           "(best exported for inference)")

@@ -119,6 +119,15 @@ class TrainConfig:
     plateau_factor: float = 0.5   # ReduceLROnPlateau(factor=0.5, patience=10), train.py:163-165
     plateau_patience: int = 10
     seed: int = 0
+    # exponential moving average of the weights (0 = off). When on, the EMA
+    # weights are what validation scores and what exports for inference —
+    # a classic variance-reduction trick the reference lacks; 0.999 is a
+    # good default at >=1k steps (time constant 1/(1-decay) steps).
+    ema_decay: float = 0.0
+    # label-consistent train-time augmentation (data/loader.py): horizontal
+    # / vertical flips and temporal swap (f0<->f1 leaves the midpoint
+    # unchanged). Off by default for reference-contract parity.
+    augment: bool = False
     loss: LossConfig = field(default_factory=LossConfig)
     checkpoint_dir: str = "checkpoints"
     resume: bool = False          # true mid-training resume (reference never reloads optimizer state)

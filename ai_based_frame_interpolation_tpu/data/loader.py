@@ -36,7 +36,8 @@ class TripletLoader:
     def __init__(self, triplets: Sequence[Triplet], batch_size: int,
                  height: int = 256, width: int = 256, grayscale: bool = True,
                  shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
-                 num_workers: int = 4, mesh=None, prefetch: int = 2):
+                 num_workers: int = 4, mesh=None, prefetch: int = 2,
+                 augment: bool = False):
         if not triplets:
             raise ValueError("no triplets to load")
         self.triplets = list(triplets)
@@ -49,6 +50,7 @@ class TripletLoader:
         self.num_workers = num_workers
         self.mesh = mesh
         self.prefetch = prefetch
+        self.augment = augment
         self._sharding = batch_sharding(mesh) if mesh is not None else None
         self._epoch = 0
 
@@ -61,6 +63,21 @@ class TripletLoader:
             return np.arange(len(self.triplets))
         rng = np.random.default_rng(self.seed + self._epoch)
         return rng.permutation(len(self.triplets))
+
+    def _augment_triplet(self, f0, f1, gt, idx: int):
+        """Label-consistent augmentation: horizontal/vertical flips apply to
+        all three frames alike; swapping f0<->f1 leaves the midpoint target
+        unchanged (time reversal). Deterministic per (seed, epoch, item)."""
+        rng = np.random.default_rng([self.seed, self._epoch, idx])
+        hflip, vflip, tswap = rng.random(3) < 0.5
+        if hflip:
+            f0, f1, gt = (np.flip(a, axis=1) for a in (f0, f1, gt))
+        if vflip:
+            f0, f1, gt = (np.flip(a, axis=0) for a in (f0, f1, gt))
+        if tswap:
+            f0, f1 = f1, f0
+        return np.ascontiguousarray(f0), np.ascontiguousarray(f1), \
+            np.ascontiguousarray(gt)
 
     def _load_batch(self, idxs: np.ndarray) -> dict:
         f0s, f1s, gts = [], [], []
@@ -79,6 +96,8 @@ class TripletLoader:
                 if not f0s:
                     continue
                 f0, f1, gt = f0s[-1], f1s[-1], gts[-1]
+            if self.augment:
+                f0, f1, gt = self._augment_triplet(f0, f1, gt, int(i))
             f0s.append(f0); f1s.append(f1); gts.append(gt)
         if not f0s:
             raise IOError("every triplet in the batch failed to decode")

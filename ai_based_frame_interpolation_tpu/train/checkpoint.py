@@ -32,8 +32,11 @@ from ..config import ModelConfig
 # ---------------------------------------------------------------------------
 
 def _tree_of(state) -> Dict[str, Any]:
-    return {"step": state.step, "params": state.params,
+    tree = {"step": state.step, "params": state.params,
             "batch_stats": state.batch_stats, "opt_state": state.opt_state}
+    if getattr(state, "ema_params", ()) != ():   # saved only when EMA is on
+        tree["ema_params"] = state.ema_params
+    return tree
 
 
 class Checkpointer:
@@ -74,7 +77,18 @@ class Checkpointer:
                 which = "latest"
         if not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        tree = self._ckptr.restore(path, _tree_of(template_state))
+        target = _tree_of(template_state)
+        try:
+            tree = self._ckptr.restore(path, target)
+        except Exception:
+            if "ema_params" not in target:
+                raise
+            # resuming a pre-EMA checkpoint with --ema-decay on: restore
+            # without the EMA slot and seed it from the restored params
+            tree = self._ckptr.restore(
+                path, {k: v for k, v in target.items() if k != "ema_params"})
+            tree["ema_params"] = jax.tree.map(lambda x: x.copy(),
+                                              tree["params"])
         state = template_state.replace(**tree)
         meta_path = os.path.join(self.directory, f"{which}_meta.json")
         epoch, history = 0, None

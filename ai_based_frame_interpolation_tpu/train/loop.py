@@ -49,6 +49,9 @@ class TrainState(struct.PyTreeNode):
     # static fields
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # EMA of params (TrainConfig.ema_decay > 0); an empty tuple when off so
+    # the pytree cost is zero and checkpoints stay small
+    ema_params: Any = ()
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -56,14 +59,25 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
 
 
+def _seed_ema(x):
+    # train_step donates the state, so `variables` may hold deleted buffers
+    # when this builds a checkpoint-restore template; values are then
+    # irrelevant (restore overwrites them) but reads would crash
+    if getattr(x, "is_deleted", None) is not None and x.is_deleted():
+        return jnp.zeros_like(x)
+    return jnp.copy(x)
+
+
 def create_train_state(model: FrameInterpolationUNet, variables,
                        cfg: TrainConfig) -> TrainState:
     tx = make_optimizer(cfg)
+    ema = (jax.tree.map(_seed_ema, variables["params"])
+           if cfg.ema_decay > 0 else ())
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"],
                       batch_stats=variables["batch_stats"],
                       opt_state=tx.init(variables["params"]),
-                      apply_fn=model.apply, tx=tx)
+                      apply_fn=model.apply, tx=tx, ema_params=ema)
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
@@ -89,9 +103,11 @@ def _loss_and_updates(params, batch_stats, apply_fn, batch, loss_cfg: LossConfig
     return loss, mutated["batch_stats"]
 
 
-@partial(jax.jit, static_argnames=("loss_cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("loss_cfg", "ema_decay"),
+         donate_argnames=("state",))
 def train_step(state: TrainState, batch: Dict[str, jax.Array],
-               loss_cfg: LossConfig) -> Tuple[TrainState, jax.Array]:
+               loss_cfg: LossConfig,
+               ema_decay: float = 0.0) -> Tuple[TrainState, jax.Array]:
     """One SPMD optimization step. Returns (new_state, loss)."""
     (loss, new_stats), grads = jax.value_and_grad(
         _loss_and_updates, has_aux=True)(
@@ -101,26 +117,39 @@ def train_step(state: TrainState, batch: Dict[str, jax.Array],
     grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
     updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
+    guarded = jax.tree.map(lambda new, old: jnp.where(ok, new, old),
+                           params, state.params)
+    ema = state.ema_params
+    if ema_decay > 0 and ema != ():
+        d = jnp.float32(ema_decay)
+        ema = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                           ema, guarded)
     new_state = state.replace(
         step=state.step + 1,
-        params=jax.tree.map(lambda new, old: jnp.where(ok, new, old),
-                            params, state.params),
+        params=guarded,
         batch_stats=jax.tree.map(lambda new, old: jnp.where(ok, new, old),
                                  new_stats, state.batch_stats),
-        opt_state=opt_state)
+        opt_state=opt_state, ema_params=ema)
     return new_state, loss
 
 
-@partial(jax.jit, static_argnames=("loss_cfg",))
+@partial(jax.jit, static_argnames=("loss_cfg", "use_ema"))
 def eval_step(state: TrainState, batch: Dict[str, jax.Array],
-              loss_cfg: LossConfig) -> Dict[str, jax.Array]:
-    """Validation: loss + on-device PSNR/SSIM vs the uint8 ground truth."""
+              loss_cfg: LossConfig,
+              use_ema: bool = False) -> Dict[str, jax.Array]:
+    """Validation: loss + on-device PSNR/SSIM vs the uint8 ground truth.
+
+    With ``use_ema`` the EMA weights are scored — they are what exports for
+    inference, so best-checkpoint selection must rank them, not the raw
+    params.
+    """
     from ..ops.image import denormalize_to_uint8
 
     f0 = normalize_uint8(batch["f0"])
     f1 = normalize_uint8(batch["f1"])
     gt = normalize_uint8(batch["gt"])
-    pred = state.apply_fn({"params": state.params,
+    params = state.ema_params if use_ema else state.params
+    pred = state.apply_fn({"params": params,
                            "batch_stats": state.batch_stats},
                           f0, f1, train=False)
     loss = combined_loss(pred, gt, loss_cfg.mse_weight, loss_cfg.ssim_weight,
@@ -198,14 +227,16 @@ def train_model(model: FrameInterpolationUNet, variables,
         t0 = time.time()
         train_losses = []
         for batch in train_loader:
-            state, loss = train_step(state, batch, loss_cfg)
+            state, loss = train_step(state, batch, loss_cfg,
+                                     ema_decay=cfg.ema_decay)
             train_losses.append(loss)
         train_loss = float(np.mean([float(x) for x in train_losses])) \
             if train_losses else float("nan")
 
         val_metrics = {"loss": [], "psnr": [], "ssim": []}
+        use_ema = cfg.ema_decay > 0 and state.ema_params != ()
         for batch in val_loader:
-            m = eval_step(state, batch, loss_cfg)
+            m = eval_step(state, batch, loss_cfg, use_ema=use_ema)
             for k in val_metrics:
                 val_metrics[k].append(float(m[k]))
         val_loss = float(np.mean(val_metrics["loss"])) if val_metrics["loss"] \

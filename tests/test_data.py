@@ -205,3 +205,48 @@ def test_loader_isolates_corrupt_files(tmp_path):
                            shuffle=False, num_workers=1)
     batches = list(loader)                # must not raise
     assert batches and batches[0]["f0"].shape == (4, 32, 32, 1)
+
+
+def test_loader_augmentation_label_consistent(fixture_root):
+    """augment=True applies flips to all three frames alike and may swap
+    f0<->f1 (midpoint-invariant); it is deterministic per (seed, epoch,
+    item) and never mutates the ground-truth relationship."""
+    triplets = scan_triplets(fixture_root)
+    plain = TripletLoader(triplets, batch_size=4, height=32, width=32,
+                          shuffle=False, num_workers=1, seed=3)
+    auged = TripletLoader(triplets, batch_size=4, height=32, width=32,
+                          shuffle=False, num_workers=1, seed=3, augment=True)
+    pb = next(iter(plain))
+    ab = next(iter(auged))
+    # determinism: a second identically-configured loader reproduces epoch 1
+    ab2 = next(iter(TripletLoader(triplets, batch_size=4, height=32,
+                                  width=32, shuffle=False, num_workers=1,
+                                  seed=3, augment=True)))
+    for k in ("f0", "f1", "gt"):
+        np.testing.assert_array_equal(ab[k], ab2[k])
+
+    import itertools
+
+    changed = 0
+    for i in range(4):
+        p = {k: pb[k][i] for k in pb}
+        a = {k: ab[k][i] for k in ab}
+        # the augmented triplet must be reachable by some combination of
+        # hflip/vflip/temporal swap applied consistently to all frames
+        for hf, vf, ts in itertools.product((False, True), repeat=3):
+            f0, f1, gt = p["f0"], p["f1"], p["gt"]
+            if hf:
+                f0, f1, gt = (np.flip(x, 1) for x in (f0, f1, gt))
+            if vf:
+                f0, f1, gt = (np.flip(x, 0) for x in (f0, f1, gt))
+            if ts:
+                f0, f1 = f1, f0
+            if (np.array_equal(a["f0"], f0) and np.array_equal(a["f1"], f1)
+                    and np.array_equal(a["gt"], gt)):
+                if hf or vf or ts:
+                    changed += 1
+                break
+        else:
+            raise AssertionError(f"item {i}: augmented triplet is not a "
+                                 "consistent flip/swap of the original")
+    assert changed >= 1        # with 4 items, some augmentation fired

@@ -160,3 +160,81 @@ def test_zero_batch_train_loader_rejected(tmp_path):
     with pytest.raises(ValueError, match="zero batches"):
         train_model(model, variables, loader, loader,
                     TrainConfig(epochs=1), log_fn=lambda s: None)
+
+
+def test_ema_tracks_params_and_checkpoints(rng, tmp_path):
+    """EMA weights lag the raw params, are scored by eval_step(use_ema=True),
+    checkpoint/restore round-trip, and stay absent (zero-cost) when off."""
+    tcfg = TrainConfig(epochs=1, batch_size=8, learning_rate=1e-3,
+                       ema_decay=0.5)
+    model, state = tiny_state(tcfg=tcfg)
+    assert state.ema_params != ()
+    batch = fake_batch(rng)
+    for _ in range(3):
+        state, loss = train_step(state, batch, tcfg.loss,
+                                 ema_decay=tcfg.ema_decay)
+    p = jax.tree.leaves(state.params)[0]
+    e = jax.tree.leaves(state.ema_params)[0]
+    # EMA moved off the init value but is not equal to the raw params
+    assert not np.allclose(np.asarray(e), np.asarray(p))
+    m_raw = eval_step(state, batch, tcfg.loss, use_ema=False)
+    m_ema = eval_step(state, batch, tcfg.loss, use_ema=True)
+    assert np.isfinite(float(m_ema["loss"]))
+    assert float(m_ema["loss"]) != pytest.approx(float(m_raw["loss"]))
+
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(state=state, epoch=0, best=True)
+    restored, _, _ = ckpt.restore(
+        create_train_state(model, {"params": state.params,
+                                   "batch_stats": state.batch_stats}, tcfg))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.ema_params)[0]), np.asarray(e))
+
+    # EMA off: the slot stays an empty tuple end-to-end
+    _, state_off = tiny_state()
+    assert state_off.ema_params == ()
+    state_off, _ = train_step(state_off, batch, TCFG.loss)
+    assert state_off.ema_params == ()
+
+
+def test_ema_template_after_donated_train_step(rng, tmp_path):
+    """cmd_train builds its best-export restore template from the SAME
+    variables dict the (donating) train_step consumed; with EMA on, template
+    creation must not read the donated buffers (regression: TPU/CPU backend
+    'buffer deleted or donated' error at the end of `fi-tpu train`)."""
+    tcfg = TrainConfig(epochs=1, batch_size=8, ema_decay=0.9)
+    model = FrameInterpolationUNet(cfg=TINY)
+    f = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f, f)
+    state = create_train_state(model, variables, tcfg)
+    state, _ = train_step(state, fake_batch(rng), TCFG.loss,
+                          ema_decay=tcfg.ema_decay)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(state=state, epoch=0, best=True)
+    # the donated `variables` are now dead; template creation + restore must
+    # still work (values come from the checkpoint, not the template)
+    template = create_train_state(model, variables, tcfg)
+    restored, _, _ = ckpt.restore(template, which="best")
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree.leaves(state.ema_params)[0]))
+
+
+def test_pre_ema_checkpoint_resumes_with_ema_enabled(rng, tmp_path):
+    """A checkpoint written without EMA restores under --ema-decay: the EMA
+    slot is seeded from the restored params instead of failing."""
+    model, state = tiny_state()
+    batch = fake_batch(rng)
+    state, _ = train_step(state, batch, TCFG.loss)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(state=state, epoch=0, best=True)
+
+    tcfg = TrainConfig(epochs=1, batch_size=8, ema_decay=0.9)
+    template = create_train_state(model, {"params": state.params,
+                                          "batch_stats": state.batch_stats},
+                                  tcfg)
+    restored, _, _ = ckpt.restore(template)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.ema_params)[0]),
+        np.asarray(jax.tree.leaves(restored.params)[0]))
