@@ -44,7 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="rearrange factor the refine head runs at "
                              "(1=full res, s2d=fastest; default from "
                              "checkpoint, else 1)")
-        sp.add_argument("--arch", default=None, choices=("unet", "tower"),
+        sp.add_argument("--arch", default=None,
+                        choices=("unet", "tower", "flow"),
                         help="model family (default: from checkpoint, else "
                              "unet = reference parity)")
         sp.add_argument("--upsample", default=None,
@@ -71,10 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--channels", type=int, default=1, choices=(1, 3))
     t.add_argument("--s2d", type=int, default=1, choices=(1, 2, 4, 8),
                    help="space-to-depth stem (1=reference parity)")
-    t.add_argument("--arch", default="unet", choices=("unet", "tower"),
+    t.add_argument("--arch", default="unet",
+                   choices=("unet", "tower", "flow"),
                    help="model family: unet (reference parity) | tower "
                         "(siamese encoder; video streams reuse per-frame "
-                        "features)")
+                        "features) | flow (motion-compensated: learned "
+                        "flow + warp + blend; native arbitrary-time, one "
+                        "backbone pass per pair at any factor; requires "
+                        "--s2d 1, recommended --base-width 32)")
     t.add_argument("--residual", action="store_true",
                    help="predict the correction to the linear midpoint "
                         "(faster convergence; changes the learned function)")
@@ -104,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--augment", action="store_true",
                    help="label-consistent train augmentation: random "
                         "horizontal/vertical flips and temporal swap")
+    t.add_argument("--save-every", type=int, default=1,
+                   help="epochs between resume-point ('latest') checkpoint "
+                        "writes (best-val always saves); raise on hosts "
+                        "where the device->host state fetch is slow")
     t.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint (true resume: "
                         "optimizer state, epoch, LR schedule)")
@@ -283,7 +292,8 @@ def cmd_train(args) -> int:
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir,
-                       ema_decay=args.ema_decay, augment=args.augment)
+                       ema_decay=args.ema_decay, augment=args.augment,
+                       save_every=args.save_every)
     model = build_model(mcfg)
     c = mcfg.channels
     f = jnp.zeros((1, args.height, args.width, c), jnp.float32)

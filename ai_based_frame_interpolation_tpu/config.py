@@ -32,7 +32,9 @@ class ModelConfig:
 
     arch: str = "unet"          # "unet" (reference parity) | "tower" (siamese
                                 # encoder + fusion decoder; per-frame feature
-                                # reuse in video streams)
+                                # reuse in video streams) | "flow" (learned
+                                # motion field + warp + blend; arbitrary-time
+                                # by construction — models/flow.py)
     channels: int = 1           # channels per frame: 1 = grayscale parity, 3 = RGB
     in_frames: int = 2          # frames concatenated on the channel axis
     base_width: int = 64        # width of the first encoder stage
@@ -128,6 +130,12 @@ class TrainConfig:
     # / vertical flips and temporal swap (f0<->f1 leaves the midpoint
     # unchanged). Off by default for reference-contract parity.
     augment: bool = False
+    # epochs between "latest" (resume-point) checkpoint writes; 1 = every
+    # epoch (reference-style safety). The best-val checkpoint — what exports
+    # for inference — always saves on improvement regardless. A latest save
+    # fetches the FULL train state (params + optimizer + EMA) device->host,
+    # which dominates epoch wall time on transfer-limited hosts.
+    save_every: int = 1
     loss: LossConfig = field(default_factory=LossConfig)
     checkpoint_dir: str = "checkpoints"
     resume: bool = False          # true mid-training resume (reference never reloads optimizer state)

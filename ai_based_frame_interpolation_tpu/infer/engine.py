@@ -180,7 +180,32 @@ class InterpolationEngine:
         ``n_out`` of the 2**depth - 1 dyadic intermediates are selected at
         evenly-spaced target times i/(n_out+1) — exact when n_out+1 is a
         power of two (the 2x/4x/8x video paths), nearest-dyadic otherwise.
+
+        The flow family overrides this entirely: ONE motion-backbone pass,
+        then each of the n_out frames is two warps + a blend at its EXACT
+        target time (no dyadic approximation, no bisection error
+        accumulation, no repeated forwards — see models/flow.py).
         """
+        if getattr(self.cfg, "arch", "unet") == "flow":
+            def flow_fn(variables, f1_u8, f2_u8):
+                x1, hw = pad_to_multiple(
+                    normalize_uint8(f1_u8, self.compute_dtype),
+                    self.cfg.pad_multiple)
+                x2, _ = pad_to_multiple(
+                    normalize_uint8(f2_u8, self.compute_dtype),
+                    self.cfg.pad_multiple)
+                flow, mask = self.model.apply(variables, x1, x2, train=False,
+                                              method="motion")
+                b = x1.shape[0]
+                outs = []
+                for i in range(n_out):
+                    t = jnp.full((b,), (i + 1) / (n_out + 1), jnp.float32)
+                    y = self.model.apply(variables, x1, x2, flow, mask, t,
+                                         train=False, method="sample")
+                    outs.append(crop_to(y.astype(self.compute_dtype), hw))
+                return denormalize_to_uint8(jnp.stack(outs, axis=1))
+
+            return jax.jit(flow_fn)
         total = 2 ** depth - 1
 
         def fn(variables, f1_u8, f2_u8):
@@ -278,10 +303,18 @@ class InterpolationEngine:
             x2, _ = pad_to_multiple(normalize_uint8(f2_u8, self.compute_dtype),
                                     self.cfg.pad_multiple)
             b = x1.shape[0]
+            is_flow = getattr(self.cfg, "arch", "unet") == "flow"
+            if is_flow:  # one backbone pass amortized over all sample times
+                flow, mask = self.model.apply(variables, x1, x2, train=False,
+                                              method="motion")
             outs = []
             for i in range(n_t):
                 t = jnp.broadcast_to(ts[i], (b,)).astype(jnp.float32)
-                y = self.model.apply(variables, x1, x2, t=t, train=False)
+                if is_flow:
+                    y = self.model.apply(variables, x1, x2, flow, mask, t,
+                                         train=False, method="sample")
+                else:
+                    y = self.model.apply(variables, x1, x2, t=t, train=False)
                 outs.append(crop_to(y.astype(self.compute_dtype), hw))
             return denormalize_to_uint8(jnp.stack(outs, axis=1))
 
@@ -291,8 +324,11 @@ class InterpolationEngine:
 
     def interpolate_at(self, f1: np.ndarray, f2: np.ndarray,
                        times: Sequence[float]) -> List[np.ndarray]:
-        """Frames at arbitrary times in (0, 1) — time-conditioned models only."""
-        if not self.cfg.time_conditioned:
+        """Frames at arbitrary times in (0, 1) — time-conditioned models
+        (t-channel U-Net/tower, or the flow family, which is
+        time-conditioned by construction)."""
+        if not (self.cfg.time_conditioned
+                or getattr(self.cfg, "arch", "unet") == "flow"):
             raise ValueError(
                 "interpolate_at requires a time_conditioned model; "
                 "use generate_intermediate_frames (bisection) instead")

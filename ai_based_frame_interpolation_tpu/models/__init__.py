@@ -1,3 +1,4 @@
+from .flow import FlowInterpolator  # noqa: F401
 from .tower import TowerInterpolator  # noqa: F401
 from .unet import (DoubleConv, Down, FrameInterpolationUNet, UNet, Up,  # noqa: F401
                    count_parameters, fold_batchnorm, init_variables)
@@ -6,6 +7,7 @@ from .unet import (DoubleConv, Down, FrameInterpolationUNet, UNet, Up,  # noqa: 
 MODEL_REGISTRY = {
     "unet": FrameInterpolationUNet,
     "tower": TowerInterpolator,
+    "flow": FlowInterpolator,
 }
 
 

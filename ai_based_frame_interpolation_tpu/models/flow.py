@@ -1,0 +1,141 @@
+"""Flow-guided interpolator — the third model family (motion-compensated).
+
+Motivation, measured on the procedural-scene benchmark: the *classical*
+optical-flow baseline (Farneback warp, capability of reference
+``model/evaluation.py:142-192``) outscores the trained direct-regression
+U-Net there (SSIM 0.896 vs 0.890) — content with real motion rewards motion
+compensation, which the reference's architecture (concat frames -> regress
+pixels, ``model/unet.py:105-112``) cannot express. This family learns it
+end-to-end, in the spirit of Deep Voxel Flow (Liu et al., ICCV'17):
+
+- a U-Net **motion backbone** consumes both frames and predicts, per pixel,
+  one linear motion field ``F`` (frame1 -> frame2 displacement) and an
+  occlusion/blend mask ``m``;
+- a **sampler** synthesizes the frame at ANY time ``t`` in [0, 1] with two
+  differentiable backward warps (``ops/warp.py``) and time-weighted
+  blending::
+
+      g0 = warp(f1, -t * F)        # where was this pixel in frame1?
+      g1 = warp(f2, (1 - t) * F)   # and in frame2?
+      out = ((1-t)*m*g0 + t*(1-m)*g1) / ((1-t)*m + t*(1-m))
+
+  (the Super-SloMo-style time-weighted normalized blend: at ``t=0`` it
+  reduces to ``f1`` and at ``t=1`` to ``f2`` wherever the mask is
+  non-degenerate);
+- an optional full-resolution **refinement head** (``cfg.refine_width > 0``,
+  same two-conv shape as the U-Net family's) corrects occlusion and
+  resampling artifacts.
+
+Everything is trained end-to-end from the reference's triplet loss alone
+(combined MSE + SSIM on the midpoint, reference ``model/train.py:75-87``) —
+the warp is differentiable in both the flow and the source pixels, so no
+flow supervision is needed.
+
+Capability wins over both other families:
+
+- **True arbitrary-time sampling by construction**: motion scales linearly
+  with ``t``, so one trained model samples any time — no t-channel
+  retraining, no bisection error accumulation.
+- **One backbone pass per pair for ANY interpolation factor**: ``motion()``
+  runs once, then each extra in-between frame costs only two warps + blend
+  (the engine's flow-aware ``_pair_fn``); the bisection path pays
+  ``2**depth - 1`` full forwards.
+
+Constraints: ``space_to_depth`` must be 1 (the motion field lives in pixel
+space; a warp in block-rearranged space is not a motion). ``base_width``
+sizes the backbone as usual — the motion task needs far less capacity than
+direct regression (flow + mask are 3 smooth channels), so ``--base-width
+32`` is the recommended operating point (~4.3 M params vs 17.3 M).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.warp import backward_warp
+from .unet import UNet
+
+Dtype = Any
+
+
+class FlowInterpolator(nn.Module):
+    """Drop-in third family: same ``(f1, f2, t=None, train=False)`` call
+    signature as ``FrameInterpolationUNet``/``TowerInterpolator``, plus
+    separable ``motion``/``sample`` methods the engine uses to amortize the
+    backbone over many sample times."""
+
+    cfg: ModelConfig = ModelConfig(arch="flow")
+    compute_dtype: Dtype = jnp.bfloat16
+    folded: bool = False
+
+    def setup(self):
+        if self.cfg.space_to_depth != 1:
+            raise ValueError(
+                "arch='flow' predicts a pixel-space motion field; "
+                "space_to_depth must be 1 (speed comes from the one-pass-"
+                "per-pair sampler, not from a rearranged core)")
+        self.backbone = UNet(
+            in_channels=self.cfg.in_frames * self.cfg.channels,
+            out_channels=3,  # flow dx, dy + mask logit
+            base_width=self.cfg.base_width,
+            depth=self.cfg.depth,
+            bilinear=self.cfg.bilinear,
+            compute_dtype=self.compute_dtype,
+            folded=self.folded,
+            upsample=getattr(self.cfg, "upsample", "align_corners"),
+            name="motion_unet")
+        if self.cfg.refine_width > 0:
+            w = self.cfg.refine_width
+            cdt = self.compute_dtype
+            self.refine1 = nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
+                                   name="refine1")
+            self.refine2 = nn.Conv(w, (3, 3), padding="SAME", dtype=cdt,
+                                   name="refine2")
+            self.refine_out = nn.Conv(self.cfg.channels, (1, 1),
+                                      dtype=jnp.float32, name="refine_out")
+
+    def motion(self, frame1: jax.Array, frame2: jax.Array,
+               train: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """One backbone pass -> (flow [B,H,W,2] in pixels, mask [B,H,W,1]).
+
+        ``flow`` is the frame1 -> frame2 motion; ``mask`` is the sigmoid
+        blend weight toward the frame1-warped candidate.
+        """
+        x = jnp.concatenate([frame1, frame2], axis=-1)
+        y = self.backbone(x, train)  # f32 output head
+        return y[..., :2], nn.sigmoid(y[..., 2:3])
+
+    def sample(self, frame1: jax.Array, frame2: jax.Array, flow: jax.Array,
+               mask: jax.Array, t: jax.Array,
+               train: bool = False) -> jax.Array:
+        """Synthesize the frame at time ``t`` ([B] in [0, 1]) from a
+        precomputed motion field: two warps + blend (+ refinement head)."""
+        cdt = self.compute_dtype
+        tb = t.astype(jnp.float32)[:, None, None, None]
+        f1 = frame1.astype(cdt)
+        f2 = frame2.astype(cdt)
+        g0 = backward_warp(f1, -tb * flow)
+        g1 = backward_warp(f2, (1.0 - tb) * flow)
+        w0 = ((1.0 - tb) * mask).astype(jnp.float32)
+        w1 = (tb * (1.0 - mask)).astype(jnp.float32)
+        out = ((w0 * g0.astype(jnp.float32) + w1 * g1.astype(jnp.float32))
+               / (w0 + w1 + 1e-6))
+        if self.cfg.refine_width > 0:
+            z = jnp.concatenate([out.astype(cdt), g0, g1, f1, f2], axis=-1)
+            z = nn.relu(self.refine1(z))
+            z = nn.relu(self.refine2(z))
+            out = out + self.refine_out(z.astype(jnp.float32))
+        return out
+
+    def __call__(self, frame1: jax.Array, frame2: jax.Array,
+                 t: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        if t is None:
+            t = jnp.full((frame1.shape[0],), 0.5, jnp.float32)
+        flow, mask = self.motion(frame1, frame2, train)
+        return self.sample(frame1, frame2, flow, mask, t, train)

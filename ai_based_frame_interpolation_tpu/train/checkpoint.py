@@ -60,8 +60,10 @@ class Checkpointer:
         with open(os.path.join(self.directory, f"{name}_meta.json"), "w") as f:
             json.dump(meta, f)
 
-    def save(self, state, epoch: int, history=None, best: bool = False) -> None:
-        self._save_one("latest", state, epoch, history)
+    def save(self, state, epoch: int, history=None, best: bool = False,
+             latest: bool = True) -> None:
+        if latest:
+            self._save_one("latest", state, epoch, history)
         if best:
             self._save_one("best", state, epoch, history)
 

@@ -266,6 +266,14 @@ def train_model(model: FrameInterpolationUNet, variables,
             improved = val_loss < best_val
             if improved:
                 best_val = val_loss
-            checkpointer.save(state=state, epoch=epoch, history=history,
-                              best=improved)
+            # "latest" (the resume point) costs a full device->host state
+            # fetch every epoch — params + optimizer (+ EMA) — which
+            # dominates wall time on transfer-limited hosts. save_every
+            # thins it; "best" (what exports for inference) always saves.
+            last = epoch + 1 == cfg.epochs
+            latest = (cfg.save_every <= 1
+                      or (epoch + 1) % cfg.save_every == 0 or last)
+            if improved or latest:
+                checkpointer.save(state=state, epoch=epoch, history=history,
+                                  best=improved, latest=latest)
     return state, history

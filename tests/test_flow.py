@@ -1,0 +1,169 @@
+"""Flow model family: shapes, endpoint consistency, arbitrary-time sampling,
+engine fast paths, training, folding, constraints."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ai_based_frame_interpolation_tpu.config import ModelConfig, TrainConfig
+from ai_based_frame_interpolation_tpu.infer.engine import InterpolationEngine
+from ai_based_frame_interpolation_tpu.models import build_model
+from ai_based_frame_interpolation_tpu.train.loop import (create_train_state,
+                                                         train_step)
+
+TINY = ModelConfig(arch="flow", base_width=8)
+
+
+@pytest.fixture(scope="module")
+def flow_engine():
+    return InterpolationEngine.random_init(TINY, seed=0)
+
+
+def init_tiny(dtype=jnp.float32, cfg=TINY):
+    m = build_model(cfg, dtype)
+    f = jnp.zeros((2, 32, 32, cfg.channels))
+    v = jax.jit(lambda a, b: m.init(jax.random.key(0), a, b,
+                                    train=False))(f, f)
+    return m, v
+
+
+def test_forward_shape():
+    m, v = init_tiny()
+    f = jnp.zeros((2, 32, 32, 1))
+    out = jax.jit(lambda v, a, b: m.apply(v, a, b))(v, f, f)
+    assert out.shape == (2, 32, 32, 1)
+
+
+def test_motion_and_sample_compose_to_call(rng):
+    m, v = init_tiny()
+    f1 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    f2 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    t = jnp.full((1,), 0.5, jnp.float32)
+    flow, mask = jax.jit(lambda v, a, b: m.apply(v, a, b,
+                                                 method="motion"))(v, f1, f2)
+    assert flow.shape == (1, 32, 32, 2) and mask.shape == (1, 32, 32, 1)
+    assert float(mask.min()) >= 0 and float(mask.max()) <= 1
+    y1 = jax.jit(lambda v, a, b, fl, mk, t: m.apply(
+        v, a, b, fl, mk, t, method="sample"))(v, f1, f2, flow, mask, t)
+    y2 = jax.jit(lambda v, a, b: m.apply(v, a, b))(v, f1, f2)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+def test_endpoint_consistency(rng):
+    """By construction: t=0 reproduces frame1 and t=1 frame2 (up to the
+    blend's eps where the mask saturates) — even with RANDOM weights."""
+    m, v = init_tiny()
+    f1 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    f2 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    fn = jax.jit(lambda v, a, b, t: m.apply(v, a, b, t=t))
+    y0 = np.asarray(fn(v, f1, f2, jnp.zeros((1,))))
+    y1 = np.asarray(fn(v, f1, f2, jnp.ones((1,))))
+    np.testing.assert_allclose(y0, np.asarray(f1), atol=1e-3)
+    np.testing.assert_allclose(y1, np.asarray(f2), atol=1e-3)
+
+
+def test_known_translation_sampling():
+    """With the TRUE flow injected, sampling a translating pattern at t=0.5
+    reconstructs the analytic midpoint (linear motion is this family's
+    modeling assumption)."""
+    m, v = init_tiny()
+    y, x = np.mgrid[0:32, 0:32].astype(np.float32)
+    base = np.sin(x / 3.0) * np.cos(y / 4.0)
+    f1 = jnp.asarray(base[None, ..., None])
+    shifted = np.sin((x + 4) / 3.0) * np.cos(y / 4.0)
+    f2 = jnp.asarray(shifted[None, ..., None])   # pattern moved 4 px LEFT
+    flow = jnp.zeros((1, 32, 32, 2)).at[..., 0].set(-4.0)
+    mask = jnp.full((1, 32, 32, 1), 0.5)
+    t = jnp.full((1,), 0.5, jnp.float32)
+    out = np.asarray(jax.jit(lambda v, a, b, fl, mk, t: m.apply(
+        v, a, b, fl, mk, t, method="sample"))(v, f1, f2, flow, mask, t))
+    expect = np.sin((x + 2) / 3.0) * np.cos(y / 4.0)
+    # interior only (borders replicate)
+    np.testing.assert_allclose(out[0, :, 6:26, 0], expect[:, 6:26], atol=0.02)
+
+
+def test_engine_pair_and_uint8(flow_engine, tiny_frames):
+    f1, f2 = tiny_frames
+    mid = flow_engine.interpolate_pair(f1, f2)
+    assert mid.shape == f1.shape and mid.dtype == np.uint8
+
+
+def test_engine_intermediates_exact_times(flow_engine, tiny_frames):
+    """The flow _pair_fn samples exact i/(n+1) times — 3 distinct frames,
+    time-ordered monotonically between the inputs on a translating scene."""
+    f1, f2 = tiny_frames
+    frames = flow_engine.generate_intermediate_frames(f1, f2, 3)
+    assert len(frames) == 3
+    assert not np.array_equal(frames[0], frames[1])
+    assert not np.array_equal(frames[1], frames[2])
+
+
+def test_engine_interpolate_at_without_flag(flow_engine, tiny_frames):
+    """arch='flow' is time-conditioned by construction: interpolate_at works
+    without cfg.time_conditioned."""
+    f1, f2 = tiny_frames
+    assert not flow_engine.cfg.time_conditioned
+    a, b = flow_engine.interpolate_at(f1, f2, [0.25, 0.75])
+    assert a.shape == f1.shape and not np.array_equal(a, b)
+
+
+def test_flow_trains_and_beats_blend_on_translation():
+    """End-to-end: on a pure-translation batch the flow family must learn to
+    reduce the loss — the gradient path through the warp works."""
+    m, v = init_tiny(jnp.bfloat16)
+    tcfg = TrainConfig(batch_size=4, learning_rate=3e-3)
+    state = create_train_state(m, v, tcfg)
+    y, x = np.mgrid[0:32, 0:32].astype(np.float32)
+    mk = lambda s: np.clip(  # noqa: E731
+        127 + 90 * np.sin((x + s) / 3.0) * np.cos(y / 4.0),
+        0, 255).astype(np.uint8)[None, ..., None]
+    batch = {"f0": jnp.asarray(np.repeat(mk(0), 4, 0)),
+             "f1": jnp.asarray(np.repeat(mk(6), 4, 0)),
+             "gt": jnp.asarray(np.repeat(mk(3), 4, 0))}
+    losses = []
+    for _ in range(25):
+        state, loss = train_step(state, batch, tcfg.loss)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_flow_refine_head():
+    cfg = ModelConfig(arch="flow", base_width=8, refine_width=8)
+    m = build_model(cfg, jnp.float32)
+    f = jnp.zeros((1, 32, 32, 1))
+    v = jax.jit(lambda a, b: m.init(jax.random.key(0), a, b,
+                                    train=False))(f, f)
+    assert "refine1" in v["params"]
+    out = jax.jit(lambda v, a, b: m.apply(v, a, b))(v, f, f)
+    assert out.shape == (1, 32, 32, 1)
+
+
+def test_flow_folding(tiny_frames):
+    f1, f2 = tiny_frames
+    folded = InterpolationEngine.random_init(TINY, seed=3)
+    raw = InterpolationEngine.random_init(TINY, seed=3, fold=False)
+    assert "batch_stats" not in folded.variables
+    np.testing.assert_allclose(folded.interpolate_pair(f1, f2).astype(int),
+                               raw.interpolate_pair(f1, f2).astype(int),
+                               atol=2)
+
+
+def test_flow_rejects_space_to_depth():
+    with pytest.raises(ValueError, match="space_to_depth"):
+        m = build_model(ModelConfig(arch="flow", base_width=8,
+                                    space_to_depth=2), jnp.float32)
+        f = jnp.zeros((1, 32, 32, 1))
+        jax.jit(lambda a, b: m.init(jax.random.key(0), a, b,
+                                    train=False))(f, f)
+
+
+def test_flow_rgb():
+    cfg = ModelConfig(arch="flow", base_width=8, channels=3)
+    eng = InterpolationEngine.random_init(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    f1 = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    f2 = rng.integers(0, 255, (48, 48, 3), np.uint8)
+    mid = eng.interpolate_pair(f1, f2)
+    assert mid.shape == (48, 48, 3) and mid.dtype == np.uint8

@@ -24,7 +24,7 @@ def tower_engine():
 
 
 def test_registry():
-    assert set(MODEL_REGISTRY) == {"unet", "tower"}
+    assert set(MODEL_REGISTRY) == {"unet", "tower", "flow"}
 
 
 def test_forward_shape():

@@ -144,6 +144,44 @@ def test_end_to_end_training_learns_and_resumes(tmp_path):
                                np.asarray(jax.tree.leaves(state.params)[0]))
 
 
+def test_save_every_thins_latest_but_keeps_best(tmp_path, monkeypatch):
+    """save_every=N writes 'latest' every N epochs (+ final epoch) while
+    'best' still saves on every val improvement."""
+    root = str(tmp_path / "data")
+    write_fixture_tree(root, num_videos=2, num_frames=8, height=32, width=32)
+    train_t, val_t = split_triplets(scan_triplets(root), 0.25, seed=0)
+    mesh = make_mesh(1)
+    kw = dict(batch_size=4, height=32, width=32, num_workers=2, mesh=mesh)
+    train_loader = TripletLoader(train_t, seed=1, **kw)
+    val_loader = TripletLoader(val_t, shuffle=False, drop_remainder=False,
+                               **kw)
+    model = FrameInterpolationUNet(cfg=TINY)
+    f = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f, f)
+    tcfg = TrainConfig(epochs=5, batch_size=4, learning_rate=3e-3,
+                       save_every=3)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    calls = []
+    orig = Checkpointer.save
+
+    def spy(self, state, epoch, history=None, best=False, latest=True):
+        calls.append((epoch, best, latest))
+        return orig(self, state, epoch, history, best=best, latest=latest)
+
+    monkeypatch.setattr(Checkpointer, "save", spy)
+    train_model(model, variables, train_loader, val_loader, tcfg, mesh=mesh,
+                checkpointer=ckpt, log_fn=lambda s: None)
+    latest_epochs = [e for e, _, latest in calls if latest]
+    assert set(latest_epochs) <= {2, 4}      # every 3rd + final epoch only
+    assert 4 in latest_epochs                # resume point at the end
+    assert any(best for _, best, _ in calls)  # best still tracked
+    assert ckpt.has_checkpoint("latest") and ckpt.has_checkpoint("best")
+    _, next_epoch, _ = ckpt.restore(
+        create_train_state(model, variables, tcfg), which="latest")
+    assert next_epoch == 5
+
+
 def test_zero_batch_train_loader_rejected(tmp_path):
     # batch size > train set with drop_remainder would silently yield zero
     # steps per epoch (train loss nan forever); train_model must refuse

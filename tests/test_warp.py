@@ -1,0 +1,90 @@
+"""Backward warp op: identity, integer shifts, bilinear blending,
+border replication, differentiability, numpy oracle."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ai_based_frame_interpolation_tpu.ops.warp import backward_warp
+
+
+def _np_backward_warp(img, flow):
+    """Straightforward numpy oracle (border-replicate bilinear sampling)."""
+    b, h, w, c = img.shape
+    out = np.zeros_like(img, dtype=np.float64)
+    for bi in range(b):
+        for yy in range(h):
+            for xx in range(w):
+                x = xx + float(flow[bi, yy, xx, 0])
+                y = yy + float(flow[bi, yy, xx, 1])
+                x0, y0 = int(np.floor(x)), int(np.floor(y))
+                wx, wy = x - x0, y - y0
+                xs = [min(max(x0, 0), w - 1), min(max(x0 + 1, 0), w - 1)]
+                ys = [min(max(y0, 0), h - 1), min(max(y0 + 1, 0), h - 1)]
+                top = (img[bi, ys[0], xs[0]] * (1 - wx)
+                       + img[bi, ys[0], xs[1]] * wx)
+                bot = (img[bi, ys[1], xs[0]] * (1 - wx)
+                       + img[bi, ys[1], xs[1]] * wx)
+                out[bi, yy, xx] = top * (1 - wy) + bot * wy
+    return out
+
+
+def test_zero_flow_is_identity(rng):
+    img = jnp.asarray(rng.random((2, 8, 9, 3), np.float32))
+    out = jax.jit(backward_warp)(img, jnp.zeros((2, 8, 9, 2)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+
+def test_integer_shift_matches_roll_interior(rng):
+    img = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    # flow (dx=2, dy=0): output[y, x] = img[y, x+2]
+    flow = jnp.zeros((1, 8, 8, 2)).at[..., 0].set(2.0)
+    out = np.asarray(jax.jit(backward_warp)(img, flow))
+    np.testing.assert_allclose(out[0, :, :6], np.asarray(img)[0, :, 2:],
+                               atol=1e-6)
+    # border replicate: columns past the right edge hold the edge value
+    edge = np.broadcast_to(np.asarray(img)[0, :, 7:8], out[0, :, 6:].shape)
+    np.testing.assert_allclose(out[0, :, 6:], edge, atol=1e-6)
+
+
+def test_half_pixel_is_neighbor_average(rng):
+    img = jnp.asarray(rng.random((1, 6, 6, 1), np.float32))
+    flow = jnp.zeros((1, 6, 6, 2)).at[..., 1].set(0.5)  # dy = +0.5
+    out = np.asarray(jax.jit(backward_warp)(img, flow))
+    a = np.asarray(img)
+    np.testing.assert_allclose(out[0, :5], 0.5 * (a[0, :5] + a[0, 1:]),
+                               atol=1e-6)
+
+
+def test_matches_numpy_oracle(rng):
+    img = rng.random((2, 7, 9, 2)).astype(np.float32)
+    flow = (rng.random((2, 7, 9, 2)).astype(np.float32) - 0.5) * 6
+    out = np.asarray(jax.jit(backward_warp)(jnp.asarray(img),
+                                            jnp.asarray(flow)))
+    np.testing.assert_allclose(out, _np_backward_warp(img, flow),
+                               atol=1e-5)
+
+
+def test_differentiable_in_flow_and_pixels(rng):
+    img = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    flow = jnp.asarray((rng.random((1, 8, 8, 2)).astype(np.float32) - 0.5))
+    tgt = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+
+    def loss(im, fl):
+        return jnp.mean((backward_warp(im, fl) - tgt) ** 2)
+
+    gi, gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(img, flow)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gf).max()) > 0  # flow actually receives gradient
+
+
+def test_bfloat16_image_keeps_f32_coordinates(rng):
+    # coordinates are computed in f32 even for bf16 images: a large shift
+    # at a far pixel position must stay exact (bf16 would quantize x+dx)
+    img = jnp.asarray(rng.random((1, 4, 300, 1), np.float32), jnp.bfloat16)
+    flow = jnp.zeros((1, 4, 300, 2)).at[..., 0].set(-7.0)
+    out = np.asarray(jax.jit(backward_warp)(img, flow).astype(jnp.float32))
+    a = np.asarray(img.astype(jnp.float32))
+    np.testing.assert_allclose(out[0, :, 200], a[0, :, 193], atol=1e-2)
