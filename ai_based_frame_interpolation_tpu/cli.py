@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--base-width", type=int, default=None,
                         help="first-stage width (default: from checkpoint, "
                              "else 64 = reference parity)")
+        sp.add_argument("--flow-scale", type=int, default=None,
+                        help="flow family: motion backbone runs at "
+                             "1/flow_scale resolution (field upsampled; "
+                             "default: from checkpoint, else 1)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -101,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "1080p core is HBM-bound on the width-64 top "
                         "level, so narrower trains may run ~proportionally "
                         "faster)")
+    t.add_argument("--flow-scale", type=int, default=1,
+                   help="flow family only: run the motion backbone at "
+                        "1/flow_scale resolution (average-pooled inputs, "
+                        "bilinearly upsampled field) — the flow analog of "
+                        "--s2d: ~flow_scale^2 cheaper backbone, full-res "
+                        "warp/blend output")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--ema-decay", type=float, default=0.0,
                    help="exponential moving average of the weights "
@@ -215,7 +225,8 @@ def _load_engine(args, allow_random: bool = False):
                           or "align_corners",
                           refine_depthwise=getattr(args, "refine_depthwise",
                                                    False),
-                          base_width=getattr(args, "base_width", None) or 64)
+                          base_width=getattr(args, "base_width", None) or 64,
+                          flow_scale=getattr(args, "flow_scale", None) or 1)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -288,7 +299,8 @@ def cmd_train(args) -> int:
                        refine_factor=args.refine_factor,
                        upsample=args.upsample,
                        refine_depthwise=args.refine_depthwise,
-                       base_width=args.base_width)
+                       base_width=args.base_width,
+                       flow_scale=args.flow_scale)
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir,

@@ -80,6 +80,14 @@ class ModelConfig:
     # decoder is bandwidth-bound, so halving its widths roughly halves its
     # HBM traffic; the 1x1 projections are MXU-cheap.
     slim_decoder: bool = False
+    # flow family only: run the motion backbone at 1/flow_scale resolution
+    # (average-pool the input frames flow_scale x flow_scale, predict the
+    # field there, bilinearly upsample it and scale the displacements back
+    # to pixels). Motion fields are smooth, so this is the flow-family
+    # analog of the U-Net family's space_to_depth speed lever: backbone
+    # cost drops ~flow_scale^2 while the full-resolution warp + blend (+
+    # optional refine head) keeps sub-pixel output detail. 1 = off.
+    flow_scale: int = 1
 
     @property
     def in_channels(self) -> int:
@@ -93,7 +101,7 @@ class ModelConfig:
 
     @property
     def pad_multiple(self) -> int:
-        return self.space_to_depth * 2 ** self.depth
+        return max(self.space_to_depth, self.flow_scale) * 2 ** self.depth
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,15 @@ space; a warp in block-rearranged space is not a motion). ``base_width``
 sizes the backbone as usual — the motion task needs far less capacity than
 direct regression (flow + mask are 3 smooth channels), so ``--base-width
 32`` is the recommended operating point (~4.3 M params vs 17.3 M).
+
+The family's speed lever is ``cfg.flow_scale`` (the analog of the U-Net
+family's ``space_to_depth``): the backbone consumes ``s x s`` average-pooled
+frames and predicts the field at 1/s resolution; the field is bilinearly
+upsampled (half-pixel grid, the exact inverse of the pooling grid) with
+displacements scaled by ``s`` back to pixel units, and the warp + blend (+
+refine head) still run at full resolution. Motion is smooth, so the field
+survives downsampling far better than pixels do — backbone cost drops
+~``s**2`` with sub-pixel output detail intact.
 """
 
 from __future__ import annotations
@@ -57,6 +66,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.resize import resize_bilinear
 from ..ops.warp import backward_warp
 from .unet import UNet
 
@@ -78,7 +88,10 @@ class FlowInterpolator(nn.Module):
             raise ValueError(
                 "arch='flow' predicts a pixel-space motion field; "
                 "space_to_depth must be 1 (speed comes from the one-pass-"
-                "per-pair sampler, not from a rearranged core)")
+                "per-pair sampler and the flow_scale lever, not from a "
+                "rearranged core)")
+        if self.cfg.flow_scale < 1:
+            raise ValueError("flow_scale must be >= 1")
         self.backbone = UNet(
             in_channels=self.cfg.in_frames * self.cfg.channels,
             out_channels=3,  # flow dx, dy + mask logit
@@ -105,10 +118,28 @@ class FlowInterpolator(nn.Module):
 
         ``flow`` is the frame1 -> frame2 motion; ``mask`` is the sigmoid
         blend weight toward the frame1-warped candidate.
+
+        With ``cfg.flow_scale = s > 1`` the backbone sees s x s average-
+        pooled frames and its field is bilinearly upsampled back (half-pixel
+        grid — the exact inverse of the pooling grid) with displacements
+        scaled by ``s`` into full-resolution pixel units; outputs are always
+        full resolution regardless of ``s``.
         """
+        s = self.cfg.flow_scale
         x = jnp.concatenate([frame1, frame2], axis=-1)
+        if s > 1:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h // s, s, w // s, s, c).mean(
+                axis=(2, 4), dtype=jnp.float32).astype(x.dtype)
         y = self.backbone(x, train)  # f32 output head
-        return y[..., :2], nn.sigmoid(y[..., 2:3])
+        flow, mask_logit = y[..., :2], y[..., 2:3]
+        if s > 1:
+            full_hw = (frame1.shape[1], frame1.shape[2])
+            flow = resize_bilinear(flow * float(s), full_hw,
+                                   align_corners=False)
+            mask_logit = resize_bilinear(mask_logit, full_hw,
+                                         align_corners=False)
+        return flow, nn.sigmoid(mask_logit)
 
     def sample(self, frame1: jax.Array, frame2: jax.Array, flow: jax.Array,
                mask: jax.Array, t: jax.Array,

@@ -159,6 +159,61 @@ def test_flow_rejects_space_to_depth():
                                     train=False))(f, f)
 
 
+def test_flow_scale_full_res_field_and_endpoints(rng):
+    """flow_scale=2: backbone sees pooled frames but motion() must return a
+    FULL-resolution field, and the t=0/1 endpoint identity still holds (it
+    is a property of the full-res warp+blend, not of the field)."""
+    cfg = ModelConfig(arch="flow", base_width=8, flow_scale=2)
+    m, v = init_tiny(cfg=cfg)
+    f1 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    f2 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    flow, mask = jax.jit(lambda v, a, b: m.apply(v, a, b,
+                                                 method="motion"))(v, f1, f2)
+    assert flow.shape == (1, 32, 32, 2) and mask.shape == (1, 32, 32, 1)
+    fn = jax.jit(lambda v, a, b, t: m.apply(v, a, b, t=t))
+    np.testing.assert_allclose(np.asarray(fn(v, f1, f2, jnp.zeros((1,)))),
+                               np.asarray(f1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fn(v, f1, f2, jnp.ones((1,)))),
+                               np.asarray(f2), atol=1e-3)
+
+
+def test_flow_scale_pad_multiple():
+    assert ModelConfig(arch="flow", flow_scale=4).pad_multiple == 64
+    assert ModelConfig(arch="flow", flow_scale=1).pad_multiple == 16
+
+
+def test_flow_scale_trains():
+    """Gradients flow through pool -> backbone -> field upsample -> warp."""
+    cfg = ModelConfig(arch="flow", base_width=8, flow_scale=2)
+    m, v = init_tiny(jnp.bfloat16, cfg=cfg)
+    tcfg = TrainConfig(batch_size=4, learning_rate=3e-3)
+    state = create_train_state(m, v, tcfg)
+    y, x = np.mgrid[0:32, 0:32].astype(np.float32)
+    mk = lambda s: np.clip(  # noqa: E731
+        127 + 90 * np.sin((x + s) / 3.0) * np.cos(y / 4.0),
+        0, 255).astype(np.uint8)[None, ..., None]
+    batch = {"f0": jnp.asarray(np.repeat(mk(0), 4, 0)),
+             "f1": jnp.asarray(np.repeat(mk(6), 4, 0)),
+             "gt": jnp.asarray(np.repeat(mk(3), 4, 0))}
+    losses = []
+    for _ in range(25):
+        state, loss = train_step(state, batch, tcfg.loss)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_flow_scale_engine_roundtrip():
+    """Engine pads to flow_scale * 2**depth and crops back; odd input sizes
+    still round-trip through the uint8 path."""
+    cfg = ModelConfig(arch="flow", base_width=8, flow_scale=2)
+    eng = InterpolationEngine.random_init(cfg, seed=1)
+    rng = np.random.default_rng(0)
+    f1 = rng.integers(0, 255, (50, 70, 1), np.uint8)
+    f2 = rng.integers(0, 255, (50, 70, 1), np.uint8)
+    mid = eng.interpolate_pair(f1, f2)
+    assert mid.shape == (50, 70, 1) and mid.dtype == np.uint8
+
+
 def test_flow_rgb():
     cfg = ModelConfig(arch="flow", base_width=8, channels=3)
     eng = InterpolationEngine.random_init(cfg, seed=1)
