@@ -68,4 +68,21 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
         return Response(blob, media_type="video/mp4", headers={
             "Content-Disposition": f'attachment; filename="{fname}"'})
 
+    @app.post("/interpolate-video")
+    async def interpolate_video(video: UploadFile = File(...),
+                                factor: int = Form(2),
+                                fps: int = Form(0)):
+        parts = {
+            "video": Part("video", video.filename, video.content_type,
+                          await video.read()),
+            "factor": Part("factor", None, None, str(factor).encode()),
+            "fps": Part("fps", None, None, str(fps).encode()),
+        }
+        try:
+            blob, fname = service.interpolate_video(parts)
+        except HTTPError as e:
+            raise HTTPException(e.status, e.detail)
+        return Response(blob, media_type="video/mp4", headers={
+            "Content-Disposition": f'attachment; filename="{fname}"'})
+
     return app

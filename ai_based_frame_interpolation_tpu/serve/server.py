@@ -116,6 +116,27 @@ def validate_image_part(part: Optional[Part], field: str,
     return part.data
 
 
+ALLOWED_VIDEO_EXTENSIONS = {"mp4", "avi", "mov", "mkv", "webm"}
+
+
+def validate_video_part(part: Optional[Part], field: str,
+                        max_bytes: int) -> Part:
+    """Upload validation for the video endpoint (same 50 MB contract as
+    images — reference ``api/app.py:36``)."""
+    if part is None or not part.data:
+        raise HTTPError(400, f"missing file field '{field}'")
+    if len(part.data) > max_bytes:
+        raise HTTPError(400, f"{field} exceeds {max_bytes // (1024*1024)} MB limit")
+    ext_ok = bool(part.filename and
+                  part.filename.rsplit(".", 1)[-1].lower()
+                  in ALLOWED_VIDEO_EXTENSIONS)
+    type_ok = (part.content_type or "").lower().startswith("video/")
+    if not (ext_ok or type_ok):
+        raise HTTPError(400, f"{field} must be a video "
+                        f"({'/'.join(sorted(ALLOWED_VIDEO_EXTENSIONS))})")
+    return part
+
+
 def decode_image_bytes(data: bytes, grayscale: bool,
                        size: Tuple[int, int]) -> np.ndarray:
     import cv2
@@ -153,6 +174,7 @@ class InterpolationService:
         # batched dispatches (continuous batching, serve/batcher.py)
         self.batcher = DynamicBatcher(engine, max_batch=cfg.max_batch,
                                       window_ms=cfg.batch_window_ms)
+        self._video_lock = threading.Lock()
         self.started_at = time.time()
         self.requests_served = 0
 
@@ -162,6 +184,8 @@ class InterpolationService:
             "name": "ai-based-frame-interpolation-tpu",
             "endpoints": {
                 "POST /interpolate": "two images + num_intermediate + fps -> MP4",
+                "POST /interpolate-video": "a video + factor (2/4/8) -> "
+                                           "MP4 at factor x the frame rate",
                 "POST /interpolate-frames": "two images + num_intermediate -> "
                                             "JSON of base64 PNG frames",
                 "POST /evaluate-interpolation": "three images (frame1, "
@@ -222,6 +246,46 @@ class InterpolationService:
                 blob = f.read()
         self.requests_served += 1
         return blob, f"interpolated_frames_{num}inter_{fps}fps.mp4"
+
+    def interpolate_video(self, parts: Dict[str, Part]) -> Tuple[bytes, str]:
+        """Whole-video interpolation: upload a clip, get the 2x/4x/8x-fps
+        MP4 back (the ``/interpolate-video`` endpoint the reference README
+        promises, ``README.md:130-139``, but never implemented — its
+        ``main.py video`` path is broken too, SURVEY.md §8.2).
+
+        Streams through ``engine.interpolate_video_file``: decode ->
+        batched device interpolation -> encode, O(1) memory in clip length.
+        """
+        factor = _int_field(parts, "factor", default=2)
+        if factor not in (2, 4, 8):
+            raise HTTPError(400, "factor must be 2, 4, or 8")
+        fps = _int_field(parts, "fps", default=0)  # 0 = input fps * factor
+        if fps and not 1 <= fps <= 240:
+            raise HTTPError(400, "fps must be in [1, 240]")
+        part = validate_video_part(parts.get("video"), "video",
+                                   self.cfg.max_upload_bytes)
+        ext = (part.filename or "clip.mp4").rsplit(".", 1)[-1].lower()
+        if ext not in ALLOWED_VIDEO_EXTENSIONS:
+            ext = "mp4"
+        with self._video_lock:  # one video job at a time; pairs still batch
+            with tempfile.TemporaryDirectory() as tmp:
+                in_path = os.path.join(tmp, f"in.{ext}")
+                out_path = os.path.join(tmp, "out.mp4")
+                with open(in_path, "wb") as f:
+                    f.write(part.data)
+                try:
+                    stats = self.engine.interpolate_video_file(
+                        in_path, out_path, factor=factor,
+                        fps=float(fps) if fps else None)
+                except (ValueError, OSError) as e:
+                    raise HTTPError(400, f"could not interpolate video: {e}")
+                if not stats.get("output_frames"):
+                    raise HTTPError(400, "could not decode any frames from "
+                                         "the uploaded video")
+                with open(out_path, "rb") as f:
+                    blob = f.read()
+        self.requests_served += 1
+        return blob, f"interpolated_{factor}x.mp4"
 
     def interpolate_frames(self, parts: Dict[str, Part]) -> dict:
         """PNG frames instead of a video (endpoint the reference README
@@ -342,7 +406,7 @@ def make_handler(service: InterpolationService):
 
         def do_POST(self):
             routes = {"/interpolate", "/interpolate-frames",
-                      "/evaluate-interpolation"}
+                      "/interpolate-video", "/evaluate-interpolation"}
             if self.path not in routes:
                 self._send_json({"detail": "not found"}, 404)
                 return
@@ -361,7 +425,10 @@ def make_handler(service: InterpolationService):
                 if self.path == "/evaluate-interpolation":
                     self._send_json(service.evaluate_interpolation(parts))
                     return
-                blob, fname = service.interpolate(parts)
+                if self.path == "/interpolate-video":
+                    blob, fname = service.interpolate_video(parts)
+                else:
+                    blob, fname = service.interpolate(parts)
             except HTTPError as e:
                 self._send_json({"detail": e.detail}, e.status)
                 return

@@ -7,6 +7,7 @@ here as a must-succeed case).
 
 import io
 import json
+import os
 import urllib.request
 
 import numpy as np
@@ -248,3 +249,71 @@ def test_concurrent_interpolate_requests(server):
     with concurrent.futures.ThreadPoolExecutor(4) as pool:
         codes = list(pool.map(one, range(4)))
     assert codes == [200] * 4
+
+
+def _tiny_video_bytes(num_frames=4, size=64):
+    """A small grayscale-content mp4 (written as BGR) of a moving square."""
+    import tempfile
+
+    import cv2
+
+    from ai_based_frame_interpolation_tpu.data.video import VideoWriter
+
+    path = tempfile.mktemp(suffix=".mp4")
+    with VideoWriter(path, fps=10.0) as w:
+        for i in range(num_frames):
+            img = np.zeros((size, size, 1), np.uint8)
+            img[20:40, 8 * i:8 * i + 20] = 255
+            w.write(img)
+    with open(path, "rb") as f:
+        blob = f.read()
+    os.unlink(path)
+    return blob
+
+
+def test_interpolate_video_endpoint(server):
+    """README-promised /interpolate-video (reference README.md:130-139,
+    never implemented there): upload a clip -> 2x-fps MP4 back."""
+    blob_in = _tiny_video_bytes(num_frames=4)
+    body, ctype = multipart_body({
+        "video": ("clip.mp4", "video/mp4", blob_in), "factor": 2})
+    status, headers, blob = request(server, "/interpolate-video", "POST",
+                                    body, ctype)
+    assert status == 200, blob
+    assert headers["Content-Type"] == "video/mp4"
+    assert "interpolated_2x" in headers["Content-Disposition"]
+    import tempfile
+
+    import cv2
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+        f.write(blob)
+    cap = cv2.VideoCapture(f.name)
+    # 4 in -> 2x = originals + 3 midpoints = 7 out, at 2x the input fps
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 7
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 20.0) < 0.5
+    cap.release()
+    os.unlink(f.name)
+
+
+def test_interpolate_video_validation(server):
+    # bad factor
+    body, ctype = multipart_body({
+        "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(2)),
+        "factor": 3})
+    status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
+    assert status == 400 and b"factor" in blob
+    # missing file
+    body, ctype = multipart_body({"factor": 2})
+    status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
+    assert status == 400 and b"video" in blob
+    # non-video upload rejected
+    body, ctype = multipart_body({
+        "video": ("a.png", "image/png", encode_png()), "factor": 2})
+    status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
+    assert status == 400 and b"must be a video" in blob
+    # corrupt video payload -> 400, not 500
+    body, ctype = multipart_body({
+        "video": ("clip.mp4", "video/mp4", b"not-a-video"), "factor": 2})
+    status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
+    assert status == 400
