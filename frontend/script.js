@@ -9,7 +9,10 @@ const MAX_BYTES = 50 * 1024 * 1024;
 const OK_TYPES = new Set(["image/jpeg", "image/jpg", "image/png",
                           "image/bmp", "image/tiff"]);
 
-const files = { 1: null, 2: null };
+const OK_VIDEO_EXT = ["mp4", "avi", "mov", "mkv", "webm"];
+
+const files = { 1: null, 2: null, v: null };
+let mode = "frames"; // "frames" | "video"
 const statusEl = document.getElementById("status");
 const goBtn = document.getElementById("go");
 
@@ -30,8 +33,16 @@ function validate(file) {
   return null;
 }
 
+function validateVideo(file) {
+  const ext = (file.name.split(".").pop() || "").toLowerCase();
+  if (!file.type.startsWith("video/") && !OK_VIDEO_EXT.includes(ext))
+    return "unsupported video type: " + (file.type || ext);
+  if (file.size > MAX_BYTES) return "file exceeds the 50 MB limit";
+  return null;
+}
+
 function refreshGo() {
-  goBtn.disabled = !(files[1] && files[2]);
+  goBtn.disabled = mode === "video" ? !files.v : !(files[1] && files[2]);
 }
 
 function wireDrop(n) {
@@ -77,20 +88,84 @@ function wireDrop(n) {
 wireDrop(1);
 wireDrop(2);
 
+// -- video mode ------------------------------------------------------------
+(function wireVideoDrop() {
+  const drop = document.getElementById("dropv");
+  const input = document.getElementById("filev");
+  const accept = (file) => {
+    const err = validateVideo(file);
+    if (err) { setStatus(err, "err"); return; }
+    files.v = file;
+    drop.classList.add("filled");
+    drop.replaceChildren(
+      Object.assign(document.createElement("div"),
+                    { className: "label", textContent: file.name }),
+      Object.assign(document.createElement("div"),
+                    { className: "hint",
+                      textContent: (file.size / (1024 * 1024)).toFixed(1) + " MB" }));
+    setStatus("");
+    refreshGo();
+  };
+  drop.addEventListener("click", () => input.click());
+  drop.addEventListener("keydown", (e) => {
+    if (e.key === "Enter" || e.key === " ") input.click();
+  });
+  input.addEventListener("change", () => {
+    if (input.files[0]) accept(input.files[0]);
+  });
+  ["dragover", "dragenter"].forEach((ev) =>
+    drop.addEventListener(ev, (e) => {
+      e.preventDefault();
+      drop.classList.add("hover");
+    }));
+  ["dragleave", "drop"].forEach((ev) =>
+    drop.addEventListener(ev, (e) => {
+      e.preventDefault();
+      drop.classList.remove("hover");
+    }));
+  drop.addEventListener("drop", (e) => {
+    const file = e.dataTransfer.files[0];
+    if (file) accept(file);
+  });
+})();
+
+function setMode(m) {
+  mode = m;
+  document.getElementById("tab-frames").classList.toggle("active", m === "frames");
+  document.getElementById("tab-video").classList.toggle("active", m === "video");
+  document.getElementById("mode-frames").hidden = m !== "frames";
+  document.getElementById("dropv").hidden = m !== "video";
+  document.getElementById("ctl-num").hidden = m !== "frames";
+  document.getElementById("ctl-fps").hidden = m !== "frames"; // video: auto fps
+  document.getElementById("ctl-factor").hidden = m !== "video";
+  setStatus("");
+  refreshGo();
+}
+document.getElementById("tab-frames").addEventListener("click", () => setMode("frames"));
+document.getElementById("tab-video").addEventListener("click", () => setMode("video"));
+
 async function generate() {
-  if (!files[1] || !files[2]) return;
+  const form = new FormData();
+  let path;
+  if (mode === "video") {
+    if (!files.v) return;
+    path = "/interpolate-video";
+    form.append("video", files.v);
+    form.append("factor", document.getElementById("factor").value);
+  } else {
+    if (!files[1] || !files[2]) return;
+    path = "/interpolate";
+    form.append("frame1", files[1]);
+    form.append("frame2", files[2]);
+    form.append("num_intermediate", document.getElementById("num").value);
+    form.append("fps", document.getElementById("fps").value);
+  }
   goBtn.disabled = true;
   setStatus("interpolating on TPU…", "busy");
   document.getElementById("result").hidden = true;
 
-  const form = new FormData();
-  form.append("frame1", files[1]);
-  form.append("frame2", files[2]);
-  form.append("num_intermediate", document.getElementById("num").value);
-  form.append("fps", document.getElementById("fps").value);
-
   try {
-    const resp = await fetch(API_BASE_URL + "/interpolate",
+    const resp = await fetch(API_BASE_URL + path,
                              { method: "POST", body: form });
     if (!resp.ok) {
       let detail = resp.statusText;
@@ -116,6 +191,16 @@ async function generate() {
 goBtn.addEventListener("click", generate);
 
 document.getElementById("reset").addEventListener("click", () => {
+  files.v = null;
+  const dropv = document.getElementById("dropv");
+  dropv.classList.remove("filled");
+  dropv.replaceChildren(
+    Object.assign(document.createElement("div"),
+                  { className: "label", textContent: "Video clip" }),
+    Object.assign(document.createElement("div"),
+                  { className: "hint", innerHTML:
+                    "click or drop a video<br>mp4 / avi / mov / mkv / webm, ≤ 50 MB" }));
+  document.getElementById("filev").value = "";
   for (const n of [1, 2]) {
     files[n] = null;
     const drop = document.getElementById("drop" + n);
