@@ -152,7 +152,14 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--output", required=True)
     add_model_flags(v)
     v.add_argument("--factor", type=int, default=2,
-                   help="frame-rate multiplier (power of two)")
+                   help="frame-rate multiplier (any integer >= 2; exact for "
+                        "flow/time-conditioned models and for powers of two "
+                        "on bisection models, nearest-dyadic otherwise)")
+    v.add_argument("--target-fps", type=float, default=None,
+                   help="retime to an arbitrary output fps instead of an "
+                        "integer factor (24->60 etc.; fractional rates, "
+                        "originals pass through losslessly). Requires an "
+                        "exact-time model: --arch flow or time-conditioned")
     v.add_argument("--fps", type=float, default=None,
                    help="output fps (default: input fps * factor)")
     v.add_argument("--batch-pairs", type=int, default=8)
@@ -382,6 +389,16 @@ def cmd_infer(args) -> int:
 
 def cmd_video(args) -> int:
     engine = _load_engine(args, allow_random=True)
+    if args.target_fps is not None:
+        stats = engine.retime_video_file(args.input, args.output,
+                                         target_fps=args.target_fps,
+                                         batch_pairs=args.batch_pairs)
+        print(f"{args.input} -> {args.output}: "
+              f"{stats['input_frames']} frames @ {stats['input_fps']:.2f} fps "
+              f"-> {stats['output_frames']} frames @ "
+              f"{stats['output_fps']:.2f} fps (rate {stats['rate']:.3f}, "
+              f"{stats['frames_per_second']:.1f} out-frames/s)")
+        return 0
     stats = engine.interpolate_video_file(
         args.input, args.output, factor=args.factor,
         batch_pairs=args.batch_pairs, fps=args.fps)

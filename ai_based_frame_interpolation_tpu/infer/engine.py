@@ -368,18 +368,22 @@ class InterpolationEngine:
         """Stream-interpolate a frame iterable to ``factor``x frame rate.
 
         Yields output frames in order: f0, m0_1.., f1, m1_1.., ..., fN.
-        ``factor`` must be a power of two (2x/4x/8x); each consecutive pair
-        contributes ``factor - 1`` intermediates. Frame pairs are batched
-        ``batch_pairs`` at a time; the two jitted shapes ([batch_pairs] and
-        the remainder) are compiled once and reused for the whole stream.
+        Each consecutive pair contributes ``factor - 1`` intermediates.
+        Any integer ``factor >= 2`` is accepted: exact-time models (the
+        flow family, or ``time_conditioned``) sample the exact i/factor
+        times; bisection models are exact for power-of-two factors and use
+        the nearest dyadic times otherwise (see ``_pair_fn``). Frame pairs
+        are batched ``batch_pairs`` at a time; the two jitted shapes
+        ([batch_pairs] and the remainder) are compiled once and reused for
+        the whole stream.
         """
-        if factor < 2 or (factor & (factor - 1)):
-            raise ValueError("factor must be a power of two >= 2")
+        if factor < 2:
+            raise ValueError("factor must be an integer >= 2")
         if getattr(self.cfg, "arch", "unet") == "tower" and factor == 2:
             # tower family: per-frame feature reuse across adjacent pairs
             yield from self._tower_video_frames(frames, batch_pairs)
             return
-        depth = int(math.log2(factor))
+        depth = max(1, math.ceil(math.log2(factor)))
         fn = self._pair_fn(factor - 1, depth)
 
         from ..ops import native
@@ -456,6 +460,92 @@ class InterpolationEngine:
         dt = time.time() - t0
         return {"input_frames": reader.frame_count, "output_frames": n_out,
                 "output_fps": out_fps, "seconds": dt,
+                "frames_per_second": n_out / dt if dt > 0 else float("inf")}
+
+    # -- fractional retiming (exact-time models) -----------------------------
+
+    @property
+    def supports_exact_time(self) -> bool:
+        """True when the model samples arbitrary times in one shot (the flow
+        family by construction, or a ``time_conditioned`` U-Net/tower)."""
+        return (self.cfg.time_conditioned
+                or getattr(self.cfg, "arch", "unet") == "flow")
+
+    def retime_video_frames(self, frames: Iterable[np.ndarray], rate: float,
+                            eps: float = 1e-6) -> Iterator[np.ndarray]:
+        """Resample a frame stream's TIMELINE by ``rate`` (out/in frame-count
+        ratio) — fractional rates welcome: 24->60 fps is ``rate=2.5``.
+
+        Output frame k sits at input time k/rate; when that lands on an
+        input frame it passes through losslessly, otherwise the exact
+        fractional time is synthesized (one motion pass per input pair for
+        the flow family, then one cheap sample per output). This is a
+        capability integer-factor interpolation can't express and the
+        reference doesn't attempt (its multi-frame mode emits N copies of
+        the midpoint, ``model/inference.py:124-149``).
+
+        Requires an exact-time model (``supports_exact_time``).
+        """
+        if rate <= 0:
+            raise ValueError("rate must be positive")
+        if not self.supports_exact_time:
+            raise ValueError(
+                "retiming requires exact-time sampling: use --arch flow or "
+                "a time_conditioned model (bisection models only support "
+                "integer factors)")
+        it = iter(frames)
+        prev = next(it, None)
+        if prev is None:
+            return
+        k = 0          # next output index
+        i = 0          # current pair is (frame i, frame i+1)
+        for cur in it:
+            ts: List[float] = []
+            originals_first = 0
+            while True:
+                tau = k / rate
+                if tau >= i + 1 - eps:
+                    break
+                t = tau - i
+                if t <= eps and not ts:
+                    originals_first += 1
+                else:
+                    ts.append(min(max(t, 0.0), 1.0))
+                k += 1
+            for _ in range(originals_first):
+                yield prev
+            if ts:
+                out = self._time_fn(len(ts))(
+                    self.variables, self._put(prev[None]),
+                    self._put(cur[None]), jnp.asarray(ts, jnp.float32))
+                arr = np.asarray(out[0])
+                for j in range(len(ts)):
+                    yield arr[j]
+            prev = cur
+            i += 1
+        if k / rate <= i + eps:   # the last input frame is an output sample
+            yield prev
+
+    def retime_video_file(self, in_path: str, out_path: str,
+                          target_fps: float, batch_pairs: int = 8) -> dict:
+        """Retime a clip to an arbitrary ``target_fps`` (24->60 etc.):
+        decode -> exact-time synthesis -> encode, streaming."""
+        from ..data.video import AsyncVideoReader, AsyncVideoWriter
+
+        grayscale = self.cfg.channels == 1
+        reader = AsyncVideoReader(in_path, grayscale=grayscale)
+        in_fps = reader.fps or 30.0
+        rate = target_fps / in_fps
+        t0 = time.time()
+        n_out = 0
+        with AsyncVideoWriter(out_path, fps=target_fps) as writer:
+            for frame in self.retime_video_frames(iter(reader), rate):
+                writer.write(frame)
+                n_out += 1
+        dt = time.time() - t0
+        return {"input_frames": reader.frame_count, "output_frames": n_out,
+                "input_fps": in_fps, "output_fps": target_fps, "rate": rate,
+                "seconds": dt,
                 "frames_per_second": n_out / dt if dt > 0 else float("inf")}
 
     # -- comparison baseline -------------------------------------------------

@@ -104,10 +104,28 @@ def test_video_frames_batch_boundary_consistency(engine):
 
 def test_video_factor_validation(engine):
     with pytest.raises(ValueError):
-        list(engine.interpolate_video_frames(iter([]), factor=3))
+        list(engine.interpolate_video_frames(iter([]), factor=1))
     with pytest.raises(ValueError):
         engine.generate_intermediate_frames(
             np.zeros((32, 32, 1), np.uint8), np.zeros((32, 32, 1), np.uint8), 0)
+
+
+def test_video_frames_non_power_of_two_factor(engine):
+    """factor=3 is accepted everywhere now (exact for flow/time-conditioned
+    models, nearest-dyadic for bisection models like this one)."""
+    frames = list(moving_circle_frames(4, 32, 32))
+    out = list(engine.interpolate_video_frames(iter(frames), factor=3,
+                                               batch_pairs=2))
+    assert len(out) == 4 + 2 * 3           # 3 pairs x 2 intermediates
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(out[3 * i], f)
+
+
+def test_retime_requires_exact_time_model(engine):
+    frames = list(moving_circle_frames(3, 32, 32))
+    assert not engine.supports_exact_time
+    with pytest.raises(ValueError, match="exact-time"):
+        list(engine.retime_video_frames(iter(frames), rate=2.5))
 
 
 def test_video_file_roundtrip(rgb_engine, tmp_path):

@@ -214,6 +214,64 @@ def test_flow_scale_engine_roundtrip():
     assert mid.shape == (50, 70, 1) and mid.dtype == np.uint8
 
 
+def _tiny_stream(n=5, h=32, w=32):
+    rng = np.random.default_rng(7)
+    base = rng.integers(30, 80, (h, w, 1), np.uint8)
+    out = []
+    for i in range(n):
+        f = base.copy()
+        f[10:20, 4 * i:4 * i + 8] = 230
+        out.append(f)
+    return out
+
+
+def test_flow_retime_fractional(flow_engine):
+    """rate=2.5 (24->60 fps): 5 inputs -> floor(4*2.5)+1 = 11 outputs,
+    originals pass through LOSSLESSLY wherever k/rate hits an input frame
+    (k=0,5,10 -> inputs 0,2,4)."""
+    frames = _tiny_stream(5)
+    out = list(flow_engine.retime_video_frames(iter(frames), rate=2.5))
+    assert len(out) == 11
+    np.testing.assert_array_equal(out[0], frames[0])
+    np.testing.assert_array_equal(out[5], frames[2])
+    np.testing.assert_array_equal(out[10], frames[4])
+    assert all(f.shape == frames[0].shape and f.dtype == np.uint8
+               for f in out)
+    assert not np.array_equal(out[1], out[2])  # distinct synthesized times
+
+
+def test_flow_retime_downsample_rate(flow_engine):
+    """rate=0.5 keeps every other frame exactly (pure timeline decimation)."""
+    frames = _tiny_stream(5)
+    out = list(flow_engine.retime_video_frames(iter(frames), rate=0.5))
+    assert len(out) == 3
+    for o, f in zip(out, frames[::2]):
+        np.testing.assert_array_equal(o, f)
+
+
+def test_flow_retime_integer_rate_matches_factor_path(flow_engine):
+    """rate=2 must produce the same frame times as factor=2 interpolation."""
+    frames = _tiny_stream(4)
+    a = list(flow_engine.retime_video_frames(iter(frames), rate=2.0))
+    b = list(flow_engine.interpolate_video_frames(iter(frames), factor=2,
+                                                  batch_pairs=2))
+    assert len(a) == len(b) == 7
+    for x, y in zip(a[::2], b[::2]):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(a[1::2], b[1::2]):   # same t=0.5 through 2 compiled fns
+        np.testing.assert_allclose(x.astype(int), y.astype(int), atol=1)
+
+
+def test_flow_video_factor3_exact_times(flow_engine):
+    frames = _tiny_stream(3)
+    out = list(flow_engine.interpolate_video_frames(iter(frames), factor=3,
+                                                    batch_pairs=2))
+    assert len(out) == 3 + 2 * 2
+    np.testing.assert_array_equal(out[0], frames[0])
+    np.testing.assert_array_equal(out[3], frames[1])
+    np.testing.assert_array_equal(out[6], frames[2])
+
+
 def test_flow_rgb():
     cfg = ModelConfig(arch="flow", base_width=8, channels=3)
     eng = InterpolationEngine.random_init(cfg, seed=1)
