@@ -71,12 +71,15 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
     @app.post("/interpolate-video")
     async def interpolate_video(video: UploadFile = File(...),
                                 factor: int = Form(2),
-                                fps: int = Form(0)):
+                                fps: int = Form(0),
+                                target_fps: float = Form(0.0)):
         parts = {
             "video": Part("video", video.filename, video.content_type,
                           await video.read()),
             "factor": Part("factor", None, None, str(factor).encode()),
             "fps": Part("fps", None, None, str(fps).encode()),
+            "target_fps": Part("target_fps", None, None,
+                               str(target_fps).encode()),
         }
         try:
             blob, fname = service.interpolate_video(parts)

@@ -184,8 +184,10 @@ class InterpolationService:
             "name": "ai-based-frame-interpolation-tpu",
             "endpoints": {
                 "POST /interpolate": "two images + num_intermediate + fps -> MP4",
-                "POST /interpolate-video": "a video + factor (2/4/8) -> "
-                                           "MP4 at factor x the frame rate",
+                "POST /interpolate-video": "a video + factor (2-8), or "
+                                           "target_fps for fractional "
+                                           "retiming (exact-time models) -> "
+                                           "MP4 at the new frame rate",
                 "POST /interpolate-frames": "two images + num_intermediate -> "
                                             "JSON of base64 PNG frames",
                 "POST /evaluate-interpolation": "three images (frame1, "
@@ -257,11 +259,19 @@ class InterpolationService:
         batched device interpolation -> encode, O(1) memory in clip length.
         """
         factor = _int_field(parts, "factor", default=2)
-        if factor not in (2, 4, 8):
-            raise HTTPError(400, "factor must be 2, 4, or 8")
+        if not 2 <= factor <= 8:
+            raise HTTPError(400, "factor must be an integer in [2, 8]")
         fps = _int_field(parts, "fps", default=0)  # 0 = input fps * factor
         if fps and not 1 <= fps <= 240:
             raise HTTPError(400, "fps must be in [1, 240]")
+        target_fps = _float_field(parts, "target_fps", default=0.0)
+        if target_fps and not 1.0 <= target_fps <= 240.0:
+            raise HTTPError(400, "target_fps must be in [1, 240]")
+        if target_fps and not self.engine.supports_exact_time:
+            raise HTTPError(400, "target_fps retiming requires an exact-"
+                                 "time model (flow family or time-"
+                                 "conditioned); this server's model only "
+                                 "supports integer factors")
         part = validate_video_part(parts.get("video"), "video",
                                    self.cfg.max_upload_bytes)
         ext = (part.filename or "clip.mp4").rsplit(".", 1)[-1].lower()
@@ -274,9 +284,13 @@ class InterpolationService:
                 with open(in_path, "wb") as f:
                     f.write(part.data)
                 try:
-                    stats = self.engine.interpolate_video_file(
-                        in_path, out_path, factor=factor,
-                        fps=float(fps) if fps else None)
+                    if target_fps:
+                        stats = self.engine.retime_video_file(
+                            in_path, out_path, target_fps=target_fps)
+                    else:
+                        stats = self.engine.interpolate_video_file(
+                            in_path, out_path, factor=factor,
+                            fps=float(fps) if fps else None)
                 except (ValueError, OSError) as e:
                     raise HTTPError(400, f"could not interpolate video: {e}")
                 if not stats.get("output_frames"):
@@ -285,7 +299,9 @@ class InterpolationService:
                 with open(out_path, "rb") as f:
                     blob = f.read()
         self.requests_served += 1
-        return blob, f"interpolated_{factor}x.mp4"
+        name = (f"retimed_{target_fps:g}fps.mp4" if target_fps
+                else f"interpolated_{factor}x.mp4")
+        return blob, name
 
     def interpolate_frames(self, parts: Dict[str, Part]) -> dict:
         """PNG frames instead of a video (endpoint the reference README
@@ -354,6 +370,16 @@ def _int_field(parts: Dict[str, Part], name: str, default: int) -> int:
         return int(part.data.decode().strip())
     except ValueError:
         raise HTTPError(400, f"{name} must be an integer")
+
+
+def _float_field(parts: Dict[str, Part], name: str, default: float) -> float:
+    part = parts.get(name)
+    if part is None:
+        return default
+    try:
+        return float(part.data.decode().strip())
+    except ValueError:
+        raise HTTPError(400, f"{name} must be a number")
 
 
 def _backend_name() -> str:

@@ -297,10 +297,10 @@ def test_interpolate_video_endpoint(server):
 
 
 def test_interpolate_video_validation(server):
-    # bad factor
+    # bad factor (any integer 2-8 is now valid — 9 is out of contract)
     body, ctype = multipart_body({
         "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(2)),
-        "factor": 3})
+        "factor": 9})
     status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
     assert status == 400 and b"factor" in blob
     # missing file
@@ -317,3 +317,43 @@ def test_interpolate_video_validation(server):
         "video": ("clip.mp4", "video/mp4", b"not-a-video"), "factor": 2})
     status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
     assert status == 400
+
+
+def test_interpolate_video_target_fps_requires_exact_time(server):
+    # the module server runs a bisection unet -> clear 400, not a 500
+    body, ctype = multipart_body({
+        "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(2)),
+        "target_fps": 25})
+    status, _, blob = request(server, "/interpolate-video", "POST", body, ctype)
+    assert status == 400 and b"exact-time" in blob
+
+
+def test_interpolate_video_retime_with_flow_model():
+    """A flow-family server retimes 10 fps -> 25 fps (rate 2.5)."""
+    eng = InterpolationEngine.random_init(
+        ModelConfig(arch="flow", base_width=4))
+    srv = Server(eng, ServeConfig(host="127.0.0.1", port=0),
+                 resolution=(64, 64))
+    srv.start_background()
+    try:
+        body, ctype = multipart_body({
+            "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(5)),
+            "target_fps": 25})
+        status, headers, blob = request(srv, "/interpolate-video", "POST",
+                                        body, ctype)
+        assert status == 200, blob
+        assert "retimed_25fps" in headers["Content-Disposition"]
+        import tempfile
+
+        import cv2
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+            f.write(blob)
+        cap = cv2.VideoCapture(f.name)
+        # 5 frames @10fps -> floor(4 * 2.5) + 1 = 11 frames @25fps
+        assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 11
+        assert abs(cap.get(cv2.CAP_PROP_FPS) - 25.0) < 0.5
+        cap.release()
+        os.unlink(f.name)
+    finally:
+        srv.shutdown()
