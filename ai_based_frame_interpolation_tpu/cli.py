@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "1080p core is HBM-bound on the width-64 top "
                         "level, so narrower trains may run ~proportionally "
                         "faster)")
+    t.add_argument("--flow-smooth", type=float, default=0.0,
+                   help="flow family only: edge-aware smoothness weight on "
+                        "the predicted motion field (0 = off; try 0.01-0.1)")
     t.add_argument("--flow-scale", type=int, default=1,
                    help="flow family only: run the motion backbone at "
                         "1/flow_scale resolution (average-pooled inputs, "
@@ -308,11 +311,16 @@ def cmd_train(args) -> int:
                        refine_depthwise=args.refine_depthwise,
                        base_width=args.base_width,
                        flow_scale=args.flow_scale)
+    if args.flow_smooth > 0 and args.arch != "flow":
+        raise SystemExit("error: --flow-smooth regularizes the flow "
+                         "family's motion field; it requires --arch flow")
+    from .config import LossConfig
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                        ema_decay=args.ema_decay, augment=args.augment,
-                       save_every=args.save_every)
+                       save_every=args.save_every,
+                       loss=LossConfig(flow_smooth_weight=args.flow_smooth))
     model = build_model(mcfg)
     c = mcfg.channels
     f = jnp.zeros((1, args.height, args.width, c), jnp.float32)

@@ -116,6 +116,13 @@ class LossConfig:
     ssim_weight: float = 0.5
     ssim_window: int = 11
     ssim_sigma: float = 1.5
+    # flow family only: edge-aware first-order smoothness of the predicted
+    # motion field (the standard unsupervised-flow regularizer — penalize
+    # |d flow| except across image edges, weighted exp(-edge_scale*|d I|)).
+    # 0 = off. Train-time only; validation loss stays the plain combined
+    # loss so arms remain comparable.
+    flow_smooth_weight: float = 0.0
+    flow_smooth_edge: float = 10.0
 
 
 @dataclass(frozen=True)

@@ -169,4 +169,7 @@ class FlowInterpolator(nn.Module):
         if t is None:
             t = jnp.full((frame1.shape[0],), 0.5, jnp.float32)
         flow, mask = self.motion(frame1, frame2, train)
+        # expose the field to the training loss (flow-smoothness
+        # regularizer); a no-op unless 'intermediates' is mutable
+        self.sow("intermediates", "flow", flow)
         return self.sample(frame1, frame2, flow, mask, t, train)

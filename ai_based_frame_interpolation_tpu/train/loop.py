@@ -92,14 +92,38 @@ def get_learning_rate(state: TrainState) -> float:
     return float(state.opt_state.hyperparams["learning_rate"])
 
 
+def flow_smoothness(flow: jax.Array, img: jax.Array,
+                    edge_scale: float = 10.0) -> jax.Array:
+    """Edge-aware first-order smoothness of a motion field.
+
+    The standard unsupervised-optical-flow regularizer: mean |d flow/dx| +
+    |d flow/dy|, downweighted across image edges by exp(-edge_scale * |dI|)
+    so motion boundaries (which coincide with image edges) are not
+    penalized. ``img`` in [-1, 1]; ``flow`` in pixels, f32.
+    """
+    f = flow.astype(jnp.float32)
+    i = img.astype(jnp.float32)
+    d_ix = jnp.mean(jnp.abs(i[:, :, 1:] - i[:, :, :-1]), -1, keepdims=True)
+    d_iy = jnp.mean(jnp.abs(i[:, 1:] - i[:, :-1]), -1, keepdims=True)
+    d_fx = jnp.abs(f[:, :, 1:] - f[:, :, :-1])
+    d_fy = jnp.abs(f[:, 1:] - f[:, :-1])
+    return (jnp.mean(jnp.exp(-edge_scale * d_ix) * d_fx) +
+            jnp.mean(jnp.exp(-edge_scale * d_iy) * d_fy))
+
+
 def _loss_and_updates(params, batch_stats, apply_fn, batch, loss_cfg: LossConfig):
     f0 = normalize_uint8(batch["f0"])
     f1 = normalize_uint8(batch["f1"])
     gt = normalize_uint8(batch["gt"])
     pred, mutated = apply_fn({"params": params, "batch_stats": batch_stats},
-                             f0, f1, train=True, mutable=["batch_stats"])
+                             f0, f1, train=True,
+                             mutable=["batch_stats", "intermediates"])
     loss = combined_loss(pred, gt, loss_cfg.mse_weight, loss_cfg.ssim_weight,
                          loss_cfg.ssim_window, loss_cfg.ssim_sigma)
+    inter = mutated.get("intermediates", {})
+    if loss_cfg.flow_smooth_weight > 0 and "flow" in inter:
+        loss = loss + loss_cfg.flow_smooth_weight * flow_smoothness(
+            inter["flow"][0], 0.5 * (f0 + f1), loss_cfg.flow_smooth_edge)
     return loss, mutated["batch_stats"]
 
 
