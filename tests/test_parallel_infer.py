@@ -70,3 +70,46 @@ def test_spatial_sharded_inference_matches(engines, rng):
     a = single.interpolate_pair(f1, f2)
     b = meshed.interpolate_pair(f1, f2)
     np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
+@pytest.fixture(scope="module")
+def flow_engines(cpu_mesh):
+    import jax.numpy as jnp
+
+    from ai_based_frame_interpolation_tpu.models import build_model
+
+    cfg = ModelConfig(arch="flow", base_width=4, flow_scale=2)
+    model = build_model(cfg, jnp.float32)
+    f = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    v = jax.jit(lambda a, b: model.init(jax.random.key(0), a, b,
+                                        train=False))(f, f)
+    cpu = jax.devices("cpu")[0]
+    v_cpu = jax.device_put(v, cpu)
+    with jax.default_device(cpu):
+        single = InterpolationEngine(build_model(cfg, jnp.float32), v_cpu)
+        meshed = InterpolationEngine(build_model(cfg, jnp.float32), v_cpu,
+                                     mesh=cpu_mesh)
+    return single, meshed
+
+
+def test_flow_batch_sharded_inference_matches(flow_engines, rng):
+    """The flow family (motion backbone + warp gathers + blend) under DP
+    sharding: per-example independence makes batch sharding exact."""
+    single, meshed = flow_engines
+    f1 = rng.integers(0, 255, (8, 64, 64, 1), np.uint8)
+    f2 = rng.integers(0, 255, (8, 64, 64, 1), np.uint8)
+    a = single.interpolate_batch(f1, f2)
+    b = meshed.interpolate_batch(f1, f2)
+    np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
+def test_flow_spatial_sharded_inference_matches(flow_engines, rng):
+    """H-sharded flow inference: the warp's gathers cross shard boundaries
+    (flow can point anywhere) — XLA's SPMD partitioner must insert the
+    collectives; the result must still match single-device exactly."""
+    single, meshed = flow_engines
+    f1 = rng.integers(0, 255, (64, 64, 1), np.uint8)
+    f2 = rng.integers(0, 255, (64, 64, 1), np.uint8)
+    a = single.interpolate_pair(f1, f2)
+    b = meshed.interpolate_pair(f1, f2)
+    np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
