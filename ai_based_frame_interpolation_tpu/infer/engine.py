@@ -298,6 +298,8 @@ class InterpolationEngine:
         repeats the midpoint, ``model/inference.py:124-149``)."""
 
         def fn(variables, f1_u8, f2_u8, ts):
+            # ts: [n_t] (one time per output, broadcast over the batch) or
+            # [n_t, B] (per-pair times — the batched retiming path)
             x1, hw = pad_to_multiple(normalize_uint8(f1_u8, self.compute_dtype),
                                      self.cfg.pad_multiple)
             x2, _ = pad_to_multiple(normalize_uint8(f2_u8, self.compute_dtype),
@@ -472,7 +474,8 @@ class InterpolationEngine:
                 or getattr(self.cfg, "arch", "unet") == "flow")
 
     def retime_video_frames(self, frames: Iterable[np.ndarray], rate: float,
-                            eps: float = 1e-6) -> Iterator[np.ndarray]:
+                            eps: float = 1e-6,
+                            batch_pairs: int = 8) -> Iterator[np.ndarray]:
         """Resample a frame stream's TIMELINE by ``rate`` (out/in frame-count
         ratio) — fractional rates welcome: 24->60 fps is ``rate=2.5``.
 
@@ -483,6 +486,12 @@ class InterpolationEngine:
         capability integer-factor interpolation can't express and the
         reference doesn't attempt (its multi-frame mode emits N copies of
         the midpoint, ``model/inference.py:124-149``).
+
+        ``batch_pairs`` consecutive pairs go to the device in ONE dispatch:
+        each pair carries its own time vector (padded to the batch's max
+        count — fractional rates alternate between floor/ceil counts, so
+        padding waste is at most one sample per pair and the jit sees a
+        couple of stable shapes).
 
         Requires an exact-time model (``supports_exact_time``).
         """
@@ -499,6 +508,34 @@ class InterpolationEngine:
             return
         k = 0          # next output index
         i = 0          # current pair is (frame i, frame i+1)
+        jobs: List[Tuple[np.ndarray, np.ndarray, int, List[float]]] = []
+
+        def flush():
+            """One device dispatch for every queued pair that needs mids,
+            then emit the whole group in time order."""
+            need = [j for j in jobs if j[3]]
+            mids: dict = {}
+            if need:
+                m = max(len(j[3]) for j in need)
+                f1 = np.stack([j[0] for j in need])
+                f2 = np.stack([j[1] for j in need])
+                # pad each pair's times to m (repeat last; cropped on emit)
+                tmat = np.stack([np.asarray(j[3] + [j[3][-1]] * (m - len(j[3])),
+                                            np.float32) for j in need], axis=1)
+                out = np.asarray(self._time_fn(m)(
+                    self.variables, self._put(f1), self._put(f2),
+                    jnp.asarray(tmat)))
+                for row, j in enumerate(need):
+                    mids[id(j)] = out[row]
+            for j in jobs:
+                for _ in range(j[2]):
+                    yield j[0]
+                if j[3]:
+                    arr = mids[id(j)]
+                    for q in range(len(j[3])):
+                        yield arr[q]
+            jobs.clear()
+
         for cur in it:
             ts: List[float] = []
             originals_first = 0
@@ -512,17 +549,12 @@ class InterpolationEngine:
                 else:
                     ts.append(min(max(t, 0.0), 1.0))
                 k += 1
-            for _ in range(originals_first):
-                yield prev
-            if ts:
-                out = self._time_fn(len(ts))(
-                    self.variables, self._put(prev[None]),
-                    self._put(cur[None]), jnp.asarray(ts, jnp.float32))
-                arr = np.asarray(out[0])
-                for j in range(len(ts)):
-                    yield arr[j]
+            jobs.append((prev, cur, originals_first, ts))
+            if len(jobs) >= batch_pairs:
+                yield from flush()
             prev = cur
             i += 1
+        yield from flush()
         if k / rate <= i + eps:   # the last input frame is an output sample
             yield prev
 
@@ -539,7 +571,8 @@ class InterpolationEngine:
         t0 = time.time()
         n_out = 0
         with AsyncVideoWriter(out_path, fps=target_fps) as writer:
-            for frame in self.retime_video_frames(iter(reader), rate):
+            for frame in self.retime_video_frames(iter(reader), rate,
+                                                  batch_pairs=batch_pairs):
                 writer.write(frame)
                 n_out += 1
         dt = time.time() - t0

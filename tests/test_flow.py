@@ -249,6 +249,18 @@ def test_flow_retime_downsample_rate(flow_engine):
         np.testing.assert_array_equal(o, f)
 
 
+def test_flow_retime_batch_boundary_consistency(flow_engine):
+    """Batched and unbatched retiming must produce the same stream."""
+    frames = _tiny_stream(7)
+    a = list(flow_engine.retime_video_frames(iter(frames), rate=2.4,
+                                             batch_pairs=1))
+    b = list(flow_engine.retime_video_frames(iter(frames), rate=2.4,
+                                             batch_pairs=4))
+    assert len(a) == len(b) == 15   # floor(6 * 2.4) + 1
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x.astype(int), y.astype(int), atol=1)
+
+
 def test_flow_retime_integer_rate_matches_factor_path(flow_engine):
     """rate=2 must produce the same frame times as factor=2 interpolation."""
     frames = _tiny_stream(4)
