@@ -35,7 +35,7 @@ import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -305,11 +305,34 @@ class InterpolationService:
 
     def interpolate_frames(self, parts: Dict[str, Part]) -> dict:
         """PNG frames instead of a video (endpoint the reference README
-        promises but never implemented — ``README.md:130-139``)."""
+        promises but never implemented — ``README.md:130-139``).
+
+        An optional ``times`` field (comma-separated fractions in (0, 1),
+        e.g. ``0.25,0.4,0.9``) samples those EXACT times instead of the
+        evenly spaced ``num_intermediate`` grid — exact-time models only
+        (flow family / time-conditioned).
+        """
         import base64
 
         import cv2
 
+        times: Optional[List[float]] = None
+        tpart = parts.get("times")
+        if tpart is not None:
+            try:
+                times = [float(s) for s in
+                         tpart.data.decode().split(",") if s.strip()]
+            except ValueError:
+                raise HTTPError(400, "times must be comma-separated numbers")
+            if not times or len(times) > self.cfg.max_intermediate:
+                raise HTTPError(400, f"times must list 1-"
+                                f"{self.cfg.max_intermediate} values")
+            if any(not 0.0 < t < 1.0 for t in times):
+                raise HTTPError(400, "each time must be in (0, 1)")
+            if not self.engine.supports_exact_time:
+                raise HTTPError(400, "arbitrary times require an exact-time "
+                                     "model (flow family or time-"
+                                     "conditioned); use num_intermediate")
         num = _int_field(parts, "num_intermediate", default=3)
         if not 1 <= num <= self.cfg.max_intermediate:
             raise HTTPError(400, f"num_intermediate must be in "
@@ -321,7 +344,10 @@ class InterpolationService:
         grayscale = self.engine.cfg.channels == 1
         f1 = decode_image_bytes(d1, grayscale, self.resolution)
         f2 = decode_image_bytes(d2, grayscale, self.resolution)
-        mids = self.batcher.generate_intermediate_frames(f1, f2, num)
+        if times is not None:
+            mids = self.engine.interpolate_at(f1, f2, times)
+        else:
+            mids = self.batcher.generate_intermediate_frames(f1, f2, num)
 
         def b64png(img):
             img2d = img[..., 0] if img.shape[-1] == 1 else img[..., ::-1]
@@ -329,9 +355,12 @@ class InterpolationService:
             return base64.b64encode(buf.tobytes()).decode()
 
         self.requests_served += 1
-        return {"num_intermediate": num,
-                "frames": [b64png(m) for m in mids],
-                "encoding": "base64 PNG, time order"}
+        out = {"num_intermediate": len(mids),
+               "frames": [b64png(m) for m in mids],
+               "encoding": "base64 PNG, time order"}
+        if times is not None:
+            out["times"] = times
+        return out
 
     def evaluate_interpolation(self, parts: Dict[str, Part]) -> dict:
         """Score every method against an uploaded ground-truth middle frame

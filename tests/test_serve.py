@@ -357,3 +357,43 @@ def test_interpolate_video_retime_with_flow_model():
         os.unlink(f.name)
     finally:
         srv.shutdown()
+
+
+def test_interpolate_frames_times_requires_exact_time(server):
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png(value=40)),
+        "frame2": ("b.png", "image/png", encode_png(value=220)),
+        "times": "0.25,0.75"})
+    status, _, blob = request(server, "/interpolate-frames", "POST",
+                              body, ctype)
+    assert status == 400 and b"exact-time" in blob
+
+
+def test_interpolate_frames_exact_times_with_flow_model():
+    eng = InterpolationEngine.random_init(
+        ModelConfig(arch="flow", base_width=4))
+    srv = Server(eng, ServeConfig(host="127.0.0.1", port=0),
+                 resolution=(64, 64))
+    srv.start_background()
+    try:
+        body, ctype = multipart_body({
+            "frame1": ("a.png", "image/png", encode_png(value=40)),
+            "frame2": ("b.png", "image/png", encode_png(value=220)),
+            "times": "0.25,0.4,0.9"})
+        status, _, blob = request(srv, "/interpolate-frames", "POST",
+                                  body, ctype)
+        assert status == 200, blob
+        data = json.loads(blob)
+        assert data["times"] == [0.25, 0.4, 0.9]
+        assert len(data["frames"]) == 3
+        # bad values rejected
+        for bad in ("0,0.5", "0.5,1.0", "x,y", ""):
+            body, ctype = multipart_body({
+                "frame1": ("a.png", "image/png", encode_png(value=40)),
+                "frame2": ("b.png", "image/png", encode_png(value=220)),
+                "times": bad})
+            status, _, _ = request(srv, "/interpolate-frames", "POST",
+                                   body, ctype)
+            assert status == 400, bad
+    finally:
+        srv.shutdown()
