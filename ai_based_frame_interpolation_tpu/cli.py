@@ -502,7 +502,10 @@ def cmd_info(args) -> int:
     meta_path = os.path.join(args.model, "latest_meta.json")
     if os.path.exists(meta_path):
         meta = json.load(open(meta_path))
-        print(f"  epochs completed: {meta.get('epoch', '?')}")
+        # meta['epoch'] is the 0-indexed last finished epoch (what resume
+        # restores from); report the human count
+        done = meta.get("epoch")
+        print(f"  epochs completed: {done + 1 if isinstance(done, int) else '?'}")
         hist = meta.get("history") or {}
         if hist.get("val_loss"):
             print(f"  best val loss: {min(hist['val_loss']):.6f}")
