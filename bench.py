@@ -92,6 +92,15 @@ def main(argv=None):
                         "only applies when --s2d > 1)")
     p.add_argument("--factor", type=int, default=2,
                    help="interpolation factor (power of two): 2 or 4")
+    p.add_argument("--arch", default="unet",
+                   choices=("unet", "tower", "flow"),
+                   help="model family to bench (default: the production "
+                        "unet; flow = the quality-flagship motion family, "
+                        "scenes SSIM 0.925 vs 0.888)")
+    p.add_argument("--base-width", type=int, default=64,
+                   help="backbone width (flow family recommendation: 32)")
+    p.add_argument("--flow-scale", type=int, default=1,
+                   help="flow family: backbone at 1/s resolution")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--batches", type=int, nargs="+",
                    default=[128, 96, 64, 32, 24, 16, 8, 4, 2, 1])
@@ -101,9 +110,14 @@ def main(argv=None):
     from ai_based_frame_interpolation_tpu.infer.engine import (
         InterpolationEngine)
 
+    is_flow = args.arch == "flow"
     engine = InterpolationEngine.random_init(
-        ModelConfig(channels=args.channels, space_to_depth=args.s2d,
-                    refine_width=args.refine_width if args.s2d > 1 else 0))
+        ModelConfig(arch=args.arch, channels=args.channels,
+                    base_width=args.base_width,
+                    space_to_depth=1 if is_flow else args.s2d,
+                    flow_scale=args.flow_scale if is_flow else 1,
+                    refine_width=args.refine_width
+                    if (args.s2d > 1 or is_flow) else 0))
     batch, fps, mid_fps = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds, factor=args.factor)
@@ -129,8 +143,11 @@ def main(argv=None):
         "detail": {"batch": batch, "factor": args.factor,
                    "height": args.height,
                    "width": args.width, "channels": args.channels,
-                   "space_to_depth": args.s2d,
-                   "refine_width": args.refine_width if args.s2d > 1 else 0,
+                   "arch": args.arch,
+                   "space_to_depth": engine.cfg.space_to_depth,
+                   "flow_scale": engine.cfg.flow_scale,
+                   "refine_width": engine.cfg.refine_width,
+                   "base_width": engine.cfg.base_width,
                    "computed_midpoints_per_sec": round(mid_fps, 2),
                    "parity_architecture_fps": round(parity_fps, 2)
                    if parity_fps else None},
