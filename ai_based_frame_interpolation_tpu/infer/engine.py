@@ -329,8 +329,7 @@ class InterpolationEngine:
         """Frames at arbitrary times in (0, 1) — time-conditioned models
         (t-channel U-Net/tower, or the flow family, which is
         time-conditioned by construction)."""
-        if not (self.cfg.time_conditioned
-                or getattr(self.cfg, "arch", "unet") == "flow"):
+        if not self.supports_exact_time:
             raise ValueError(
                 "interpolate_at requires a time_conditioned model; "
                 "use generate_intermediate_frames (bisection) instead")
