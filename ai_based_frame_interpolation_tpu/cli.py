@@ -122,6 +122,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--augment", action="store_true",
                    help="label-consistent train augmentation: random "
                         "horizontal/vertical flips and temporal swap")
+    t.add_argument("--grad-accum", type=int, default=1,
+                   help="sequential microbatches per optimizer step: same "
+                        "effective batch, ~N x lower activation memory "
+                        "(for resolutions/batches one chip can't hold); "
+                        "batch size must divide evenly")
     t.add_argument("--save-every", type=int, default=1,
                    help="epochs between resume-point ('latest') checkpoint "
                         "writes (best-val always saves); raise on hosts "
@@ -314,12 +319,16 @@ def cmd_train(args) -> int:
     if args.flow_smooth > 0 and args.arch != "flow":
         raise SystemExit("error: --flow-smooth regularizes the flow "
                          "family's motion field; it requires --arch flow")
+    if args.grad_accum < 1 or batch % args.grad_accum:
+        raise SystemExit(f"error: --grad-accum must divide the batch size "
+                         f"evenly (batch {batch}, accum {args.grad_accum})")
     from .config import LossConfig
     tcfg = TrainConfig(epochs=args.epochs, batch_size=batch,
                        learning_rate=args.lr, val_split=args.val_split,
                        seed=args.seed, checkpoint_dir=args.checkpoint_dir,
                        ema_decay=args.ema_decay, augment=args.augment,
                        save_every=args.save_every,
+                       grad_accum=args.grad_accum,
                        loss=LossConfig(flow_smooth_weight=args.flow_smooth))
     model = build_model(mcfg)
     c = mcfg.channels

@@ -145,6 +145,12 @@ class TrainConfig:
     # / vertical flips and temporal swap (f0<->f1 leaves the midpoint
     # unchanged). Off by default for reference-contract parity.
     augment: bool = False
+    # sequential microbatches per optimizer step (1 = off). The global
+    # batch splits into grad_accum microbatches inside one jitted step
+    # (lax.scan): same effective batch, ~grad_accum x lower peak activation
+    # memory — for training at resolutions/batches a chip can't hold.
+    # batch_size must divide evenly.
+    grad_accum: int = 1
     # epochs between "latest" (resume-point) checkpoint writes; 1 = every
     # epoch (reference-style safety). The best-val checkpoint — what exports
     # for inference — always saves on improvement regardless. A latest save

@@ -127,15 +127,50 @@ def _loss_and_updates(params, batch_stats, apply_fn, batch, loss_cfg: LossConfig
     return loss, mutated["batch_stats"]
 
 
-@partial(jax.jit, static_argnames=("loss_cfg", "ema_decay"),
+def _accumulated_grads(params, batch_stats, apply_fn, batch, loss_cfg,
+                       grad_accum: int):
+    """Mean loss/grads over ``grad_accum`` sequential microbatches.
+
+    ``lax.scan`` re-materializes activations per microbatch, so peak
+    activation memory drops ~grad_accum x for the same effective batch —
+    the TPU-idiomatic way to train at resolutions/batches that don't fit
+    (the optimizer state and the plateau-LR host control are untouched).
+    BatchNorm statistics update sequentially per microbatch, exactly as if
+    the microbatches were separate steps.
+    """
+    def micro(carry, mb):
+        stats, gsum, lsum = carry
+        (loss, new_stats), g = jax.value_and_grad(
+            _loss_and_updates, has_aux=True)(
+            params, stats, apply_fn, mb, loss_cfg)
+        gsum = jax.tree.map(jnp.add, gsum, g)
+        return (new_stats, gsum, lsum + loss), None
+
+    mbs = jax.tree.map(
+        lambda x: x.reshape(grad_accum, x.shape[0] // grad_accum,
+                            *x.shape[1:]), batch)
+    zero_g = jax.tree.map(jnp.zeros_like, params)
+    (new_stats, gsum, lsum), _ = jax.lax.scan(
+        micro, (batch_stats, zero_g, jnp.zeros((), jnp.float32)), mbs)
+    inv = 1.0 / grad_accum
+    return (lsum * inv, new_stats), jax.tree.map(lambda g: g * inv, gsum)
+
+
+@partial(jax.jit, static_argnames=("loss_cfg", "ema_decay", "grad_accum"),
          donate_argnames=("state",))
 def train_step(state: TrainState, batch: Dict[str, jax.Array],
                loss_cfg: LossConfig,
-               ema_decay: float = 0.0) -> Tuple[TrainState, jax.Array]:
+               ema_decay: float = 0.0,
+               grad_accum: int = 1) -> Tuple[TrainState, jax.Array]:
     """One SPMD optimization step. Returns (new_state, loss)."""
-    (loss, new_stats), grads = jax.value_and_grad(
-        _loss_and_updates, has_aux=True)(
-        state.params, state.batch_stats, state.apply_fn, batch, loss_cfg)
+    if grad_accum > 1:
+        (loss, new_stats), grads = _accumulated_grads(
+            state.params, state.batch_stats, state.apply_fn, batch,
+            loss_cfg, grad_accum)
+    else:
+        (loss, new_stats), grads = jax.value_and_grad(
+            _loss_and_updates, has_aux=True)(
+            state.params, state.batch_stats, state.apply_fn, batch, loss_cfg)
     # NaN guard: skip the update when the loss is non-finite, keep training.
     ok = jnp.isfinite(loss)
     grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
@@ -252,7 +287,8 @@ def train_model(model: FrameInterpolationUNet, variables,
         train_losses = []
         for batch in train_loader:
             state, loss = train_step(state, batch, loss_cfg,
-                                     ema_decay=cfg.ema_decay)
+                                     ema_decay=cfg.ema_decay,
+                                     grad_accum=cfg.grad_accum)
             train_losses.append(loss)
         train_loss = float(np.mean([float(x) for x in train_losses])) \
             if train_losses else float("nan")

@@ -276,3 +276,29 @@ def test_pre_ema_checkpoint_resumes_with_ema_enabled(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(restored.ema_params)[0]),
         np.asarray(jax.tree.leaves(restored.params)[0]))
+
+
+def test_grad_accum_trains_and_approximates_full_batch(rng):
+    """grad_accum=4 reduces loss like the single-dispatch step; the mean
+    loss over microbatches equals the full-batch loss up to BN-statistics
+    coupling (BN normalizes per microbatch, as separate steps would)."""
+    _, state = tiny_state()
+    batch = fake_batch(rng)
+    losses = []
+    for _ in range(8):
+        state, loss = train_step(state, batch, TCFG.loss, grad_accum=4)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_grad_accum_first_loss_close_to_full_batch(rng):
+    """At identical init the accumulated first-step loss is in the same
+    ballpark as the full-batch loss (differs only via per-microbatch BN)."""
+    batch = fake_batch(rng)
+    _, s1 = tiny_state()
+    _, l1 = train_step(s1, batch, TCFG.loss)
+    _, s2 = tiny_state()
+    _, l2 = train_step(s2, batch, TCFG.loss, grad_accum=2)
+    assert abs(float(l1) - float(l2)) < 0.1 * max(float(l1), 1e-3)
