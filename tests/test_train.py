@@ -107,6 +107,11 @@ def test_sharded_train_step_on_8_device_mesh(rng):
     # params remain replicated (no accidental sharding of the weights)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+    # gradient accumulation composes with the sharded batch (the [B] ->
+    # [A, B/A] reshape re-lays the data; XLA inserts the collectives)
+    state, loss = train_step(state, batch, TCFG.loss, grad_accum=2)
+    assert np.isfinite(float(loss))
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
 
 
 def test_end_to_end_training_learns_and_resumes(tmp_path):
