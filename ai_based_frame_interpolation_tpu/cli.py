@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "bilinearly upsampled field) — the flow analog of "
                         "--s2d: ~flow_scale^2 cheaper backbone, full-res "
                         "warp/blend output")
+    t.add_argument("--flow-bidir", action="store_true",
+                   help="flow family only: predict two independent motion "
+                        "fields (f1->f2 and f2->f1, Super-SloMo-style "
+                        "time-t warp synthesis) instead of one field and "
+                        "its negation — helps occlusions / non-symmetric "
+                        "motion")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--ema-decay", type=float, default=0.0,
                    help="exponential moving average of the weights "
@@ -315,7 +321,10 @@ def cmd_train(args) -> int:
                        upsample=args.upsample,
                        refine_depthwise=args.refine_depthwise,
                        base_width=args.base_width,
-                       flow_scale=args.flow_scale)
+                       flow_scale=args.flow_scale,
+                       flow_bidir=args.flow_bidir)
+    if args.flow_bidir and args.arch != "flow":
+        raise SystemExit("error: --flow-bidir requires --arch flow")
     if args.flow_smooth > 0 and args.arch != "flow":
         raise SystemExit("error: --flow-smooth regularizes the flow "
                          "family's motion field; it requires --arch flow")

@@ -88,6 +88,16 @@ class ModelConfig:
     # cost drops ~flow_scale^2 while the full-resolution warp + blend (+
     # optional refine head) keeps sub-pixel output detail. 1 = off.
     flow_scale: int = 1
+    # flow family only: predict TWO independent motion fields (frame1->frame2
+    # AND frame2->frame1) instead of one field and its negation. The sampler
+    # combines them Super-SloMo-style (Jiang et al., CVPR'18 eq. 4):
+    #   F_t<-0 = -(1-t)*t*F01 + t^2 * F10
+    #   F_t<-1 = (1-t)^2 *F01 - t*(1-t)*F10
+    # With F10 = -F01 these reduce exactly to the single-field sampler, so
+    # this is a strict generalization: it lets the two warp sources disagree
+    # near occlusions and under non-symmetric motion. Costs 2 extra backbone
+    # output channels (nothing at inference beyond the same two warps).
+    flow_bidir: bool = False
 
     @property
     def in_channels(self) -> int:

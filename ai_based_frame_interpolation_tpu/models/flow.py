@@ -94,7 +94,9 @@ class FlowInterpolator(nn.Module):
             raise ValueError("flow_scale must be >= 1")
         self.backbone = UNet(
             in_channels=self.cfg.in_frames * self.cfg.channels,
-            out_channels=3,  # flow dx, dy + mask logit
+            # one (dx, dy) field + mask logit; bidirectional adds a second
+            # independent field (frame2 -> frame1)
+            out_channels=5 if self.cfg.flow_bidir else 3,
             base_width=self.cfg.base_width,
             depth=self.cfg.depth,
             bilinear=self.cfg.bilinear,
@@ -117,7 +119,10 @@ class FlowInterpolator(nn.Module):
         """One backbone pass -> (flow [B,H,W,2] in pixels, mask [B,H,W,1]).
 
         ``flow`` is the frame1 -> frame2 motion; ``mask`` is the sigmoid
-        blend weight toward the frame1-warped candidate.
+        blend weight toward the frame1-warped candidate. With
+        ``cfg.flow_bidir`` the flow is [B,H,W,4]: channels 0-1 the
+        frame1 -> frame2 field, channels 2-3 the independent
+        frame2 -> frame1 field.
 
         With ``cfg.flow_scale = s > 1`` the backbone sees s x s average-
         pooled frames and its field is bilinearly upsampled back (half-pixel
@@ -132,7 +137,8 @@ class FlowInterpolator(nn.Module):
             x = x.reshape(b, h // s, s, w // s, s, c).mean(
                 axis=(2, 4), dtype=jnp.float32).astype(x.dtype)
         y = self.backbone(x, train)  # f32 output head
-        flow, mask_logit = y[..., :2], y[..., 2:3]
+        nf = 4 if self.cfg.flow_bidir else 2
+        flow, mask_logit = y[..., :nf], y[..., nf:nf + 1]
         if s > 1:
             full_hw = (frame1.shape[1], frame1.shape[2])
             flow = resize_bilinear(flow * float(s), full_hw,
@@ -150,8 +156,18 @@ class FlowInterpolator(nn.Module):
         tb = t.astype(jnp.float32)[:, None, None, None]
         f1 = frame1.astype(cdt)
         f2 = frame2.astype(cdt)
-        g0 = backward_warp(f1, -tb * flow)
-        g1 = backward_warp(f2, (1.0 - tb) * flow)
+        if self.cfg.flow_bidir:
+            # Super-SloMo linear approximation of the time-t warp fields
+            # from two independent endpoint fields (config.py:flow_bidir);
+            # reduces to the single-field branch when f10 == -f01.
+            f01, f10 = flow[..., :2], flow[..., 2:4]
+            ft0 = -(1.0 - tb) * tb * f01 + tb * tb * f10
+            ft1 = (1.0 - tb) ** 2 * f01 - tb * (1.0 - tb) * f10
+        else:
+            ft0 = -tb * flow
+            ft1 = (1.0 - tb) * flow
+        g0 = backward_warp(f1, ft0)
+        g1 = backward_warp(f2, ft1)
         w0 = ((1.0 - tb) * mask).astype(jnp.float32)
         w1 = (tb * (1.0 - mask)).astype(jnp.float32)
         out = ((w0 * g0.astype(jnp.float32) + w1 * g1.astype(jnp.float32))

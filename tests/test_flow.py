@@ -342,3 +342,62 @@ def test_flow_rgb():
     f2 = rng.integers(0, 255, (48, 48, 3), np.uint8)
     mid = eng.interpolate_pair(f1, f2)
     assert mid.shape == (48, 48, 3) and mid.dtype == np.uint8
+
+
+def test_flow_bidir_motion_shape_and_endpoints(rng):
+    """flow_bidir: 4-channel field from motion(); the t=0/1 endpoint
+    identity holds by construction (both time-t warp fields vanish at
+    their own endpoint)."""
+    cfg = ModelConfig(arch="flow", base_width=8, flow_bidir=True)
+    m, v = init_tiny(cfg=cfg)
+    f1 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    f2 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    flow, mask = jax.jit(lambda v, a, b: m.apply(v, a, b,
+                                                 method="motion"))(v, f1, f2)
+    assert flow.shape == (1, 32, 32, 4) and mask.shape == (1, 32, 32, 1)
+    fn = jax.jit(lambda v, a, b, t: m.apply(v, a, b, t=t))
+    np.testing.assert_allclose(np.asarray(fn(v, f1, f2, jnp.zeros((1,)))),
+                               np.asarray(f1), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fn(v, f1, f2, jnp.ones((1,)))),
+                               np.asarray(f2), atol=1e-3)
+
+
+def test_flow_bidir_reduces_to_single_field(rng):
+    """With f2->f1 = -(f1->f2) injected, the bidirectional sampler is
+    EXACTLY the single-field sampler at every t (strict generalization;
+    sample() is parameter-free without a refine head)."""
+    m1, v1 = init_tiny()
+    cfgb = ModelConfig(arch="flow", base_width=8, flow_bidir=True)
+    mb, vb = init_tiny(cfg=cfgb)
+    f1 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    f2 = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    f01 = jnp.asarray(rng.normal(0, 2, (1, 32, 32, 2)).astype(np.float32))
+    mask = jnp.full((1, 32, 32, 1), 0.3, jnp.float32)
+    for tv in (0.25, 0.5, 0.8):
+        t = jnp.full((1,), tv, jnp.float32)
+        ys = jax.jit(lambda v, a, b, fl, mk, t: m1.apply(
+            v, a, b, fl, mk, t, method="sample"))(v1, f1, f2, f01, mask, t)
+        yb = jax.jit(lambda v, a, b, fl, mk, t: mb.apply(
+            v, a, b, fl, mk, t, method="sample"))(
+                vb, f1, f2, jnp.concatenate([f01, -f01], -1), mask, t)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ys), atol=1e-5)
+
+
+def test_flow_bidir_trains():
+    """Gradients flow through both endpoint fields' time-t combination."""
+    cfg = ModelConfig(arch="flow", base_width=8, flow_bidir=True)
+    m, v = init_tiny(jnp.bfloat16, cfg=cfg)
+    tcfg = TrainConfig(batch_size=4, learning_rate=3e-3)
+    state = create_train_state(m, v, tcfg)
+    y, x = np.mgrid[0:32, 0:32].astype(np.float32)
+    mk = lambda s: np.clip(  # noqa: E731
+        127 + 90 * np.sin((x + s) / 3.0) * np.cos(y / 4.0),
+        0, 255).astype(np.uint8)[None, ..., None]
+    batch = {"f0": jnp.asarray(np.repeat(mk(0), 4, 0)),
+             "f1": jnp.asarray(np.repeat(mk(6), 4, 0)),
+             "gt": jnp.asarray(np.repeat(mk(3), 4, 0))}
+    losses = []
+    for _ in range(25):
+        state, loss = train_step(state, batch, tcfg.loss)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
