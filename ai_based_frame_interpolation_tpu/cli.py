@@ -114,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bilinearly upsampled field) — the flow analog of "
                         "--s2d: ~flow_scale^2 cheaper backbone, full-res "
                         "warp/blend output")
+    t.add_argument("--flow-photo", type=float, default=0.0,
+                   help="flow family only: endpoint photometric field "
+                        "supervision weight — L1 between each frame and "
+                        "its full warp from the other frame (0 = off; "
+                        "try 0.05-0.2)")
     t.add_argument("--flow-bidir", action="store_true",
                    help="flow family only: predict two independent motion "
                         "fields (f1->f2 and f2->f1, Super-SloMo-style "
@@ -328,6 +333,9 @@ def cmd_train(args) -> int:
     if args.flow_smooth > 0 and args.arch != "flow":
         raise SystemExit("error: --flow-smooth regularizes the flow "
                          "family's motion field; it requires --arch flow")
+    if args.flow_photo > 0 and args.arch != "flow":
+        raise SystemExit("error: --flow-photo supervises the flow "
+                         "family's motion field; it requires --arch flow")
     if args.grad_accum < 1 or batch % args.grad_accum:
         raise SystemExit(f"error: --grad-accum must divide the batch size "
                          f"evenly (batch {batch}, accum {args.grad_accum})")
@@ -338,7 +346,8 @@ def cmd_train(args) -> int:
                        ema_decay=args.ema_decay, augment=args.augment,
                        save_every=args.save_every,
                        grad_accum=args.grad_accum,
-                       loss=LossConfig(flow_smooth_weight=args.flow_smooth))
+                       loss=LossConfig(flow_smooth_weight=args.flow_smooth,
+                                       flow_photo_weight=args.flow_photo))
     model = build_model(mcfg)
     c = mcfg.channels
     f = jnp.zeros((1, args.height, args.width, c), jnp.float32)

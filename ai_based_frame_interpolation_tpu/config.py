@@ -133,6 +133,13 @@ class LossConfig:
     # loss so arms remain comparable.
     flow_smooth_weight: float = 0.0
     flow_smooth_edge: float = 10.0
+    # flow family only: endpoint photometric supervision of the motion
+    # field itself — L1 between each frame and its full warp from the
+    # OTHER frame (warp(f1, F01) vs f0 and warp(f0, F10) vs f1; with the
+    # single-field sampler F10 = -F01). The triplet loss only constrains
+    # the two half-warps at the midpoint; this grounds the field at both
+    # endpoints, where the ground truth is free. 0 = off. Train-time only.
+    flow_photo_weight: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,7 @@ from ..models.unet import FrameInterpolationUNet
 from ..ops.image import normalize_uint8
 from ..ops.psnr import psnr
 from ..ops.ssim import combined_loss, ssim_eval
+from ..ops.warp import backward_warp
 from ..parallel.mesh import make_mesh, replicated
 
 
@@ -124,6 +125,20 @@ def _loss_and_updates(params, batch_stats, apply_fn, batch, loss_cfg: LossConfig
     if loss_cfg.flow_smooth_weight > 0 and "flow" in inter:
         loss = loss + loss_cfg.flow_smooth_weight * flow_smoothness(
             inter["flow"][0], 0.5 * (f0 + f1), loss_cfg.flow_smooth_edge)
+    if loss_cfg.flow_photo_weight > 0 and "flow" in inter:
+        # endpoint photometric grounding of the field (config.py:
+        # flow_photo_weight): the t=1 warp field is F10 (or -F01 single-
+        # field) and must carry f0 onto f1; the t=0 field is F01 and must
+        # carry f1 onto f0 — exactly the sampler's own endpoint limits
+        # (models/flow.py:sample), so no new conventions are introduced.
+        fl = inter["flow"][0].astype(jnp.float32)
+        f01 = fl[..., :2]
+        f10 = fl[..., 2:4] if fl.shape[-1] == 4 else -f01
+        r1 = backward_warp(f0.astype(jnp.float32), f10)
+        r0 = backward_warp(f1.astype(jnp.float32), f01)
+        loss = loss + loss_cfg.flow_photo_weight * (
+            jnp.mean(jnp.abs(r1 - f1.astype(jnp.float32))) +
+            jnp.mean(jnp.abs(r0 - f0.astype(jnp.float32))))
     return loss, mutated["batch_stats"]
 
 
