@@ -88,3 +88,30 @@ def test_bfloat16_image_keeps_f32_coordinates(rng):
     out = np.asarray(jax.jit(backward_warp)(img, flow).astype(jnp.float32))
     a = np.asarray(img.astype(jnp.float32))
     np.testing.assert_allclose(out[0, :, 200], a[0, :, 193], atol=1e-2)
+
+
+def test_patch_impl_matches_gather4(rng):
+    # ONE 2x2-slice gather vs four 1-element gathers: bit-identical,
+    # including replicate-border behavior under large displacements
+    img = rng.random((2, 17, 23, 3)).astype(np.float32)
+    flow = ((rng.random((2, 17, 23, 2)) - 0.5) * 60).astype(np.float32)
+    a = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="gather4"))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    b = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="patch"))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(a, _np_backward_warp(img, flow), atol=1e-5)
+
+
+def test_patch_impl_differentiable(rng):
+    img = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    flow = jnp.asarray((rng.random((1, 8, 8, 2)).astype(np.float32) - 0.5))
+
+    def loss(im, fl):
+        return jnp.mean(backward_warp(im, fl, impl="patch") ** 2)
+
+    gi, gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(img, flow)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert float(jnp.abs(np.asarray(gf)).max()) > 0
