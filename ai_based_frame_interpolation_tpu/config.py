@@ -98,6 +98,11 @@ class ModelConfig:
     # near occlusions and under non-symmetric motion. Costs 2 extra backbone
     # output channels (nothing at inference beyond the same two warps).
     flow_bidir: bool = False
+    # flow family only: backward_warp gather strategy (ops/warp.py).
+    # "gather4" = four 1-element corner gathers; "patch" = ONE gather of
+    # 2x2 slices (4x fewer gather descriptors). Numerically identical —
+    # an inference-speed knob, safe to flip on existing checkpoints.
+    warp_impl: str = "gather4"
 
     @property
     def in_channels(self) -> int:

@@ -101,7 +101,13 @@ def main(argv=None):
                    help="backbone width (flow family recommendation: 32)")
     p.add_argument("--flow-scale", type=int, default=1,
                    help="flow family: backbone at 1/s resolution")
+    p.add_argument("--warp-impl", default="gather4",
+                   choices=("gather4", "patch"),
+                   help="flow family: backward_warp gather strategy")
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--skip-parity", action="store_true",
+                   help="skip the reference-architecture comparison run "
+                        "(saves its 1080p remote compile during A/Bs)")
     p.add_argument("--batches", type=int, nargs="+",
                    default=[128, 96, 64, 32, 24, 16, 8, 4, 2, 1])
     args = p.parse_args(argv)
@@ -116,6 +122,7 @@ def main(argv=None):
                     base_width=args.base_width,
                     space_to_depth=1 if is_flow else args.s2d,
                     flow_scale=args.flow_scale if is_flow else 1,
+                    warp_impl=args.warp_impl,
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
     batch, fps, mid_fps = find_batch_and_rate(
@@ -124,7 +131,7 @@ def main(argv=None):
 
     # also measure the exact-reference-architecture config for comparison
     parity_fps = None
-    if args.s2d != 1:
+    if args.s2d != 1 and not args.skip_parity:
         try:
             parity_engine = InterpolationEngine.random_init(
                 ModelConfig(channels=args.channels))

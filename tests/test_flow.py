@@ -454,3 +454,16 @@ def test_flow_photo_term_zero_with_true_field():
                                atol=0.02)
     np.testing.assert_allclose(r0[0, :, 6:26, 0], f0[0, :, 6:26, 0],
                                atol=0.02)
+
+
+def test_warp_impl_knob_is_output_invariant(tiny_frames):
+    """cfg.warp_impl ("gather4" vs "patch", ops/warp.py) is a pure speed
+    knob: identical uint8 output through the full engine path, so it is
+    safe to flip on existing checkpoints."""
+    f1, f2 = tiny_frames
+    outs = []
+    for impl in ("gather4", "patch"):
+        cfg = ModelConfig(arch="flow", base_width=8, warp_impl=impl)
+        eng = InterpolationEngine.random_init(cfg, seed=0)
+        outs.append(eng.interpolate_pair(f1, f2))
+    np.testing.assert_array_equal(outs[0], outs[1])
