@@ -63,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
                         help="flow family: motion backbone runs at "
                              "1/flow_scale resolution (field upsampled; "
                              "default: from checkpoint, else 1)")
+        sp.add_argument("--warp-impl", default=None,
+                        choices=("gather4", "patch", "shifts"),
+                        help="flow family: backward-warp strategy. "
+                             "gather4/patch are numerically identical "
+                             "(checkpoint-safe to flip); shifts is the "
+                             "gather-free TPU-fast path (displacements "
+                             "clamped to +-max_flow px)")
+        sp.add_argument("--max-flow", type=int, default=None,
+                        help="shifts warp only: per-axis displacement "
+                             "bound in pixels (default 32; cost linear)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -125,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "time-t warp synthesis) instead of one field and "
                         "its negation — helps occlusions / non-symmetric "
                         "motion")
+    t.add_argument("--warp-impl", default="gather4",
+                   choices=("gather4", "patch", "shifts"),
+                   help="flow family only: backward-warp strategy the model "
+                        "trains through. shifts = gather-free TPU-fast "
+                        "path (displacements clamped to +-max_flow px)")
+    t.add_argument("--max-flow", type=int, default=32,
+                   help="shifts warp only: per-axis displacement bound in "
+                        "pixels (cost linear in the bound)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--ema-decay", type=float, default=0.0,
                    help="exponential moving average of the weights "
@@ -252,7 +270,10 @@ def _load_engine(args, allow_random: bool = False):
                           refine_depthwise=getattr(args, "refine_depthwise",
                                                    False),
                           base_width=getattr(args, "base_width", None) or 64,
-                          flow_scale=getattr(args, "flow_scale", None) or 1)
+                          flow_scale=getattr(args, "flow_scale", None) or 1,
+                          warp_impl=getattr(args, "warp_impl", None)
+                          or "gather4",
+                          max_flow=getattr(args, "max_flow", None) or 32)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
                                                    compute_dtype=dtype)
@@ -327,7 +348,9 @@ def cmd_train(args) -> int:
                        refine_depthwise=args.refine_depthwise,
                        base_width=args.base_width,
                        flow_scale=args.flow_scale,
-                       flow_bidir=args.flow_bidir)
+                       flow_bidir=args.flow_bidir,
+                       warp_impl=args.warp_impl,
+                       max_flow=args.max_flow)
     if args.flow_bidir and args.arch != "flow":
         raise SystemExit("error: --flow-bidir requires --arch flow")
     if args.flow_smooth > 0 and args.arch != "flow":

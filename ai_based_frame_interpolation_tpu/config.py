@@ -98,11 +98,21 @@ class ModelConfig:
     # near occlusions and under non-symmetric motion. Costs 2 extra backbone
     # output channels (nothing at inference beyond the same two warps).
     flow_bidir: bool = False
-    # flow family only: backward_warp gather strategy (ops/warp.py).
+    # flow family only: backward_warp strategy (ops/warp.py).
     # "gather4" = four 1-element corner gathers; "patch" = ONE gather of
-    # 2x2 slices (4x fewer gather descriptors). Numerically identical —
-    # an inference-speed knob, safe to flip on existing checkpoints.
+    # 2x2 slices (4x fewer gather descriptors) — those two are numerically
+    # identical. "shifts" = gather-free separable shift-select warp, the
+    # TPU-fast path (per-element gathers measured ~110 ms/frame at 1080p;
+    # shifts is pure fused vector work): displacements are clamped to
+    # +-max_flow px per axis and the x-shift samples at the source row
+    # (second-order deviation from the exact 2-D warp; the family trains
+    # through the warp, so the field adapts). gather4/patch <-> each other
+    # are checkpoint-safe; switching to/from "shifts" is best paired with
+    # (re)training, though fields within +-max_flow transfer closely.
     warp_impl: str = "gather4"
+    # "shifts" only: per-axis displacement bound in pixels (cost is linear
+    # in the bound: 2*max_flow + 2 shifted copies per axis per warp).
+    max_flow: int = 32
 
     @property
     def in_channels(self) -> int:

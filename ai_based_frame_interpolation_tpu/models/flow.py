@@ -166,8 +166,10 @@ class FlowInterpolator(nn.Module):
         else:
             ft0 = -tb * flow
             ft1 = (1.0 - tb) * flow
-        g0 = backward_warp(f1, ft0, impl=self.cfg.warp_impl)
-        g1 = backward_warp(f2, ft1, impl=self.cfg.warp_impl)
+        g0 = backward_warp(f1, ft0, impl=self.cfg.warp_impl,
+                           max_flow=self.cfg.max_flow)
+        g1 = backward_warp(f2, ft1, impl=self.cfg.warp_impl,
+                           max_flow=self.cfg.max_flow)
         w0 = ((1.0 - tb) * mask).astype(jnp.float32)
         w1 = (tb * (1.0 - mask)).astype(jnp.float32)
         out = ((w0 * g0.astype(jnp.float32) + w1 * g1.astype(jnp.float32))

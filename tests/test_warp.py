@@ -115,3 +115,87 @@ def test_patch_impl_differentiable(rng):
     gi, gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(img, flow)
     assert np.isfinite(np.asarray(gi)).all()
     assert float(jnp.abs(np.asarray(gf)).max()) > 0
+
+
+def test_shifts_impl_exact_when_dx_is_y_constant(rng):
+    """The separable shifts warp is EXACT (vs the 2-D oracle) whenever the
+    x-displacement does not vary along y — the only approximation is
+    sampling dx at the source row (ops/warp.py shifts docstring)."""
+    img = rng.random((2, 12, 15, 2)).astype(np.float32)
+    dx = ((rng.random((2, 1, 15)) - 0.5) * 6).astype(np.float32)
+    dy = ((rng.random((2, 12, 15)) - 0.5) * 6).astype(np.float32)
+    flow = np.stack([np.broadcast_to(dx, (2, 12, 15)), dy], axis=-1)
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=8))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(out, _np_backward_warp(img, flow),
+                               atol=1e-5)
+
+
+def test_shifts_impl_close_to_oracle_on_smooth_fields(rng):
+    """On a smooth y-varying field the second-order deviation
+    (|dy| * d(dx)/dy, scaled by the image gradient) stays small on
+    natural-smoothness content."""
+    yy, xx = np.mgrid[0:24, 0:24].astype(np.float32)
+    img = (0.5 + 0.4 * np.sin(xx / 5.0) * np.cos(yy / 7.0))[
+        None, ..., None].astype(np.float32)
+    dx = 2.0 * np.sin(yy / 8.0)[None]  # gentle variation along y
+    dy = 1.5 * np.cos(xx / 8.0)[None]
+    flow = np.stack([dx, dy], axis=-1)
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=8))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    oracle = _np_backward_warp(img, flow)
+    assert np.abs(out - oracle).mean() < 0.02
+
+
+def test_shifts_impl_clamps_to_max_flow(rng):
+    """Displacements beyond +-max_flow behave exactly like the clamped
+    field (gather4 has no bound, so compare against gather4 of the
+    pre-clamped flow)."""
+    img = rng.random((1, 10, 40, 1)).astype(np.float32)
+    dx = np.full((1, 10, 40), 11.0, np.float32)  # beyond the bound of 4
+    flow = np.stack([dx, np.zeros_like(dx)], axis=-1)
+    clamped = np.clip(flow, -4, 4)
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=4))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    ref = np.asarray(backward_warp(jnp.asarray(img), jnp.asarray(clamped)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_shifts_impl_border_replicate(rng):
+    img = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    flow = jnp.zeros((1, 8, 8, 2)).at[..., 0].set(3.0)
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=4))(
+            img, flow))
+    a = np.asarray(img)
+    np.testing.assert_allclose(out[0, :, :5], a[0, :, 3:], atol=1e-6)
+    edge = np.broadcast_to(a[0, :, 7:8], out[0, :, 5:].shape)
+    np.testing.assert_allclose(out[0, :, 5:], edge, atol=1e-6)
+
+
+def test_shifts_impl_differentiable(rng):
+    img = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    flow = jnp.asarray((rng.random((1, 8, 8, 2)).astype(np.float32) - 0.5))
+    tgt = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+
+    def loss(im, fl):
+        return jnp.mean(
+            (backward_warp(im, fl, impl="shifts", max_flow=4) - tgt) ** 2)
+
+    gi, gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(img, flow)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gf).max()) > 0
+
+
+def test_shifts_impl_bfloat16(rng):
+    img = jnp.asarray(rng.random((1, 4, 300, 1), np.float32), jnp.bfloat16)
+    flow = jnp.zeros((1, 4, 300, 2)).at[..., 0].set(-7.0)
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=8))(
+            img, flow).astype(jnp.float32))
+    a = np.asarray(img.astype(jnp.float32))
+    np.testing.assert_allclose(out[0, :, 200], a[0, :, 193], atol=1e-2)
