@@ -135,11 +135,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "time-t warp synthesis) instead of one field and "
                         "its negation — helps occlusions / non-symmetric "
                         "motion")
-    t.add_argument("--warp-impl", default="gather4",
+    t.add_argument("--warp-impl", default="shifts",
                    choices=("gather4", "patch", "shifts"),
                    help="flow family only: backward-warp strategy the model "
-                        "trains through. shifts = gather-free TPU-fast "
-                        "path (displacements clamped to +-max_flow px)")
+                        "trains through. shifts (default) = gather-free "
+                        "TPU-fast path (displacements clamped to "
+                        "+-max_flow px, quality-equal by A/B); gather4 = "
+                        "exact bilinear warp")
     t.add_argument("--max-flow", type=int, default=32,
                    help="shifts warp only: per-axis displacement bound in "
                         "pixels (cost linear in the bound)")
@@ -272,7 +274,7 @@ def _load_engine(args, allow_random: bool = False):
                           base_width=getattr(args, "base_width", None) or 64,
                           flow_scale=getattr(args, "flow_scale", None) or 1,
                           warp_impl=getattr(args, "warp_impl", None)
-                          or "gather4",
+                          or "shifts",
                           max_flow=getattr(args, "max_flow", None) or 32)
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,

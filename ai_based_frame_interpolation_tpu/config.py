@@ -109,7 +109,12 @@ class ModelConfig:
     # through the warp, so the field adapts). gather4/patch <-> each other
     # are checkpoint-safe; switching to/from "shifts" is best paired with
     # (re)training, though fields within +-max_flow transfer closely.
-    warp_impl: str = "gather4"
+    # DEFAULT = "shifts" by A/B measurement: trained-through shifts is
+    # quality-EQUAL on the scenes harness (SSIM 0.9351 mf32 / 0.9345 mf8
+    # vs 0.9343 gather4) and ~50x faster per 1080p warp on the TPU
+    # (2.2 ms vs 111 ms marginal). Checkpoints store their own value, so
+    # models trained before the flip keep gather4 semantics on load.
+    warp_impl: str = "shifts"
     # "shifts" only: per-axis displacement bound in pixels (cost is linear
     # in the bound: 2*max_flow + 2 shifted copies per axis per warp).
     max_flow: int = 32

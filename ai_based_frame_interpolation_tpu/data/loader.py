@@ -47,7 +47,10 @@ class TripletLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
-        self.num_workers = num_workers
+        # 0 = synchronous decode in the iterator thread (still prefetched
+        # one batch ahead by the producer thread); ThreadPoolExecutor
+        # itself rejects max_workers=0.
+        self.num_workers = max(1, num_workers)
         self.mesh = mesh
         self.prefetch = prefetch
         self.augment = augment
