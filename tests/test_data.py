@@ -112,6 +112,16 @@ def test_loader_remainder_handling(fixture_root):
     assert sizes == [3, 3, 2]
 
 
+def test_loader_accepts_zero_workers(fixture_root):
+    # num_workers=0 means "synchronous decode" (reference DataLoader
+    # semantics); it must not crash ThreadPoolExecutor(max_workers=0).
+    triplets = scan_triplets(fixture_root)
+    loader = TripletLoader(triplets, batch_size=4, height=32, width=32,
+                           shuffle=False, num_workers=0)
+    sizes = [b["f0"].shape[0] for b in loader]
+    assert sizes == [4, 4]
+
+
 def test_video_roundtrip(tmp_path):
     path = str(tmp_path / "clip.mp4")
     frames = moving_circle_frames(8, 64, 64, channels=3)

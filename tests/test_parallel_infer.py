@@ -92,24 +92,40 @@ def flow_engines(cpu_mesh):
     return single, meshed
 
 
+def _assert_flow_close(a, b):
+    """Flow-family cross-program tolerance: with warp_impl="shifts" (the
+    default) the warp selects among 2*max_flow+2 shifted terms by per-pixel
+    integer offsets derived from the f32 field; two differently-compiled
+    programs (single vs sharded) reassociate the backbone's reductions, and
+    where the field sits within f32 noise of an integer the selected offset
+    pair flips — the blended result stays within 2 uint8 LSB, but exceeds
+    the 1-LSB wobble of select-free models on a handful of pixels
+    (measured 2/32768)."""
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 2, f"max uint8 diff {diff.max()}"
+    frac_over_1 = float((diff > 1).mean())
+    assert frac_over_1 <= 1e-3, f"{frac_over_1:.2%} of pixels differ by 2"
+
+
 def test_flow_batch_sharded_inference_matches(flow_engines, rng):
-    """The flow family (motion backbone + warp gathers + blend) under DP
+    """The flow family (motion backbone + warp + blend) under DP
     sharding: per-example independence makes batch sharding exact."""
     single, meshed = flow_engines
     f1 = rng.integers(0, 255, (8, 64, 64, 1), np.uint8)
     f2 = rng.integers(0, 255, (8, 64, 64, 1), np.uint8)
     a = single.interpolate_batch(f1, f2)
     b = meshed.interpolate_batch(f1, f2)
-    np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+    _assert_flow_close(a, b)
 
 
 def test_flow_spatial_sharded_inference_matches(flow_engines, rng):
-    """H-sharded flow inference: the warp's gathers cross shard boundaries
-    (flow can point anywhere) — XLA's SPMD partitioner must insert the
-    collectives; the result must still match single-device exactly."""
+    """H-sharded flow inference: the warp's shifted slices cross shard
+    boundaries (flow can point anywhere within max_flow) — XLA's SPMD
+    partitioner must insert the halo collectives; the result must still
+    match single-device up to the flow cross-program tolerance."""
     single, meshed = flow_engines
     f1 = rng.integers(0, 255, (64, 64, 1), np.uint8)
     f2 = rng.integers(0, 255, (64, 64, 1), np.uint8)
     a = single.interpolate_pair(f1, f2)
     b = meshed.interpolate_pair(f1, f2)
-    np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+    _assert_flow_close(a, b)
