@@ -342,8 +342,8 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
                           depthwise=depthwise, ch=ch, nplanes=nplanes),
         grid=(bsz, h // th),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),              # zp
-            pl.BlockSpec(memory_space=pltpu.ANY),              # yg
+            pl.BlockSpec(memory_space=pl.ANY),              # zp
+            pl.BlockSpec(memory_space=pl.ANY),              # yg
             pl.BlockSpec((w, 9 * nplanes), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),             # w1t
             pl.BlockSpec((w, 1), lambda b, i: (0, 0),
@@ -354,7 +354,7 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
             pl.BlockSpec((ch, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),             # b3
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, ch, h, wp), cdt),
         scratch_shapes=[
             pltpu.VMEM((nplanes, th + 8, wp), cdt),            # zt

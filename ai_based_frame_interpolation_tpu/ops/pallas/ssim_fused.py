@@ -185,8 +185,8 @@ def ssim_eval_tiled(img1: jax.Array, img2: jax.Array,
         functools.partial(_ssim_tiled_kernel, data_range=data_range,
                           tile=_TILE_ROWS, height=h, width=w),
         grid=(b, nt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
