@@ -64,15 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
                              "1/flow_scale resolution (field upsampled; "
                              "default: from checkpoint, else 1)")
         sp.add_argument("--warp-impl", default=None,
-                        choices=("gather4", "patch", "shifts"),
+                        choices=("gather4", "patch", "shifts", "pyramid"),
                         help="flow family: backward-warp strategy. "
                              "gather4/patch are numerically identical "
                              "(checkpoint-safe to flip); shifts is the "
                              "gather-free TPU-fast path (displacements "
-                             "clamped to +-max_flow px)")
+                             "clamped to +-max_flow px); pyramid = shifts "
+                             "with a strided coarse level (full +-max_flow "
+                             "range at ~sqrt cost)")
         sp.add_argument("--max-flow", type=int, default=None,
-                        help="shifts warp only: per-axis displacement "
-                             "bound in pixels (default 32; cost linear)")
+                        help="shifts/pyramid warp: per-axis displacement "
+                             "bound in pixels (default 32)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -136,15 +138,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "its negation — helps occlusions / non-symmetric "
                         "motion")
     t.add_argument("--warp-impl", default="shifts",
-                   choices=("gather4", "patch", "shifts"),
+                   choices=("gather4", "patch", "shifts", "pyramid"),
                    help="flow family only: backward-warp strategy the model "
                         "trains through. shifts (default) = gather-free "
                         "TPU-fast path (displacements clamped to "
-                        "+-max_flow px, quality-equal by A/B); gather4 = "
-                        "exact bilinear warp")
+                        "+-max_flow px, quality-equal by A/B); pyramid = "
+                        "shifts with a strided coarse level (full range at "
+                        "~sqrt cost); gather4 = exact bilinear warp")
     t.add_argument("--max-flow", type=int, default=32,
-                   help="shifts warp only: per-axis displacement bound in "
-                        "pixels (cost linear in the bound)")
+                   help="shifts/pyramid warp: per-axis displacement bound "
+                        "in pixels (shifts cost is linear in the bound, "
+                        "pyramid ~sqrt)")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--ema-decay", type=float, default=0.0,
                    help="exponential moving average of the weights "

@@ -114,9 +114,16 @@ class ModelConfig:
     # vs 0.9343 gather4) and ~50x faster per 1080p warp on the TPU
     # (2.2 ms vs 111 ms marginal). Checkpoints store their own value, so
     # models trained before the flip keep gather4 semantics on load.
+    # "pyramid" = the shifts warp with each 1-D pass split into a strided
+    # integer coarse level + a small-bound fine level: the full +-max_flow
+    # range at ~O(sqrt(max_flow)) shifted copies per axis instead of
+    # O(max_flow). Same trained-through semantics as "shifts" with extra
+    # second-order deviation confined to coarse-quantization boundaries
+    # of the field (ops/warp.py:_warp_axis_pyramid).
     warp_impl: str = "shifts"
-    # "shifts" only: per-axis displacement bound in pixels (cost is linear
-    # in the bound: 2*max_flow + 2 shifted copies per axis per warp).
+    # "shifts"/"pyramid": per-axis displacement bound in pixels. shifts
+    # cost is linear in the bound (2*max_flow + 2 shifted copies per axis
+    # per warp); pyramid is ~2*sqrt(2*max_flow) copies.
     max_flow: int = 32
 
     @property

@@ -199,3 +199,77 @@ def test_shifts_impl_bfloat16(rng):
             img, flow).astype(jnp.float32))
     a = np.asarray(img.astype(jnp.float32))
     np.testing.assert_allclose(out[0, :, 200], a[0, :, 193], atol=1e-2)
+
+
+def test_pyramid_impl_exact_on_constant_field(rng):
+    """On a locally constant field the two-level warp is exact: the coarse
+    level is an integer shift and the fine level the ordinary bilinear
+    shifts warp of the residual."""
+    img = rng.random((1, 16, 64, 1)).astype(np.float32)
+    flow = np.zeros((1, 16, 64, 2), np.float32)
+    flow[..., 0], flow[..., 1] = 13.3, -5.7
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="pyramid", max_flow=32))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(out, _np_backward_warp(img, flow), atol=1e-5)
+
+
+def test_pyramid_impl_close_to_shifts_on_smooth_fields(rng):
+    """vs the direct shifts warp (the semantics it approximates), the
+    deviation is confined to coarse-quantization boundaries of the field
+    and is second-order on smooth fields."""
+    yy, xx = np.mgrid[0:48, 0:48].astype(np.float32)
+    img = (0.5 + 0.4 * np.sin(xx / 5.0) * np.cos(yy / 7.0))[
+        None, ..., None].astype(np.float32)
+    dx = (10.0 * np.sin(yy / 15.0) + 6 * np.cos(xx / 11.0))[None]
+    dy = (8.0 * np.cos(xx / 13.0))[None]
+    flow = np.stack([dx, dy], axis=-1)
+    s = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=32))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    p = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="pyramid", max_flow=32))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    assert np.abs(p - s).mean() < 0.01
+
+
+def test_pyramid_impl_small_bound_falls_back_to_shifts(rng):
+    """When 2*max_flow + 2 direct terms are cheaper than coarse + fine, the
+    pyramid path must return the direct shifts result bit-for-bit."""
+    img = rng.random((1, 12, 24, 2)).astype(np.float32)
+    flow = ((rng.random((1, 12, 24, 2)) - 0.5) * 6).astype(np.float32)
+    s = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="shifts", max_flow=4))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    p = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="pyramid", max_flow=4))(
+            jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_array_equal(s, p)
+
+
+def test_pyramid_impl_differentiable(rng):
+    img = jnp.asarray(rng.random((1, 16, 16, 1), np.float32))
+    flow = jnp.asarray(
+        ((rng.random((1, 16, 16, 2)) - 0.5) * 12).astype(np.float32))
+    tgt = jnp.asarray(rng.random((1, 16, 16, 1), np.float32))
+
+    def loss(im, fl):
+        return jnp.mean(
+            (backward_warp(im, fl, impl="pyramid", max_flow=16) - tgt) ** 2)
+
+    gi, gf = jax.jit(jax.grad(loss, argnums=(0, 1)))(img, flow)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert np.isfinite(np.asarray(gf)).all()
+    assert float(jnp.abs(gf).max()) > 0
+
+
+def test_pyramid_impl_border_replicate(rng):
+    img = jnp.asarray(rng.random((1, 8, 40, 1), np.float32))
+    flow = jnp.zeros((1, 8, 40, 2)).at[..., 0].set(13.0)
+    out = np.asarray(jax.jit(
+        lambda i, f: backward_warp(i, f, impl="pyramid", max_flow=16))(
+            img, flow))
+    a = np.asarray(img)
+    np.testing.assert_allclose(out[0, :, :27], a[0, :, 13:], atol=1e-5)
+    edge = np.broadcast_to(a[0, :, 39:40], out[0, :, 27:].shape)
+    np.testing.assert_allclose(out[0, :, 27:], edge, atol=1e-5)
