@@ -307,3 +307,25 @@ def test_grad_accum_first_loss_close_to_full_batch(rng):
     _, s2 = tiny_state()
     _, l2 = train_step(s2, batch, TCFG.loss, grad_accum=2)
     assert abs(float(l1) - float(l2)) < 0.1 * max(float(l1), 1e-3)
+
+
+def test_flow_family_sharded_train_step_on_8_device_mesh(rng):
+    """The motion family trains under the same data-parallel mesh recipe as
+    the unet — including the pyramid warp's coarse/fine select-shift graph
+    under jit + grad + batch sharding."""
+    from ai_based_frame_interpolation_tpu.models import FlowInterpolator
+
+    mesh = make_mesh(devices=jax.devices("cpu"))
+    cfg = ModelConfig(arch="flow", base_width=4, refine_width=4,
+                      warp_impl="pyramid", max_flow=8)
+    model = FlowInterpolator(cfg=cfg)
+    f = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    variables = jax.jit(
+        lambda a, b: model.init(jax.random.key(0), a, b, train=False))(f, f)
+    state = jax.device_put(create_train_state(model, variables, TCFG),
+                           replicated(mesh))
+    batch = {k: jax.device_put(np.asarray(v), batch_sharding(mesh))
+             for k, v in fake_batch(rng, batch=16).items()}
+    state, loss = train_step(state, batch, TCFG.loss)
+    assert np.isfinite(float(loss))
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
