@@ -101,9 +101,13 @@ def main(argv=None):
                    help="backbone width (flow family recommendation: 32)")
     p.add_argument("--flow-scale", type=int, default=1,
                    help="flow family: backbone at 1/s resolution")
-    p.add_argument("--warp-impl", default="gather4",
-                   choices=("gather4", "patch"),
-                   help="flow family: backward_warp gather strategy")
+    p.add_argument("--warp-impl", default="shifts",
+                   choices=("gather4", "patch", "shifts", "pyramid"),
+                   help="flow family: backward_warp strategy (shifts = "
+                        "the gather-free TPU default; pyramid = full "
+                        "range at ~sqrt cost)")
+    p.add_argument("--max-flow", type=int, default=32,
+                   help="shifts/pyramid warp displacement bound (px)")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the reference-architecture comparison run "
@@ -122,7 +126,7 @@ def main(argv=None):
                     base_width=args.base_width,
                     space_to_depth=1 if is_flow else args.s2d,
                     flow_scale=args.flow_scale if is_flow else 1,
-                    warp_impl=args.warp_impl,
+                    warp_impl=args.warp_impl, max_flow=args.max_flow,
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
     batch, fps, mid_fps = find_batch_and_rate(
