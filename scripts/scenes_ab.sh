@@ -1,0 +1,62 @@
+#!/bin/bash
+# Scenes-harness quality A/B runner — the "standard arms" recipe behind the
+# flow-family table in docs/PERF.md (procedural scenes, 24 train clips +
+# 6 held-out test clips, 128px, 50-epoch budget, lr 3e-4, identical seeds).
+#
+# Usage:  scripts/scenes_ab.sh "name:--arch flow --base-width 32 ..." ...
+# Env:    WORK   work dir (default /tmp/scenes_ab; dataset is reused)
+#         EPOCHS training budget (default 50)
+#
+# Each arm trains into $WORK/ck_<name>, evaluates on the held-out clips
+# into $WORK/eval_<name>/, and the script ends with a summary table.
+# Arms whose eval results already exist are skipped, so the script is
+# re-runnable / resumable. Runs on whatever backend jax selects (the TPU
+# when the tunnel is up); metrics are backend-independent (docs/PERF.md).
+set -u
+WORK=${WORK:-/tmp/scenes_ab}
+EPOCHS=${EPOCHS:-50}
+cd /root/repo
+mkdir -p "$WORK"
+
+if [ ! -d "$WORK/train" ]; then
+  python -m ai_based_frame_interpolation_tpu dataset \
+    --output-dir "$WORK/train" --videos 24 --size 128 --seed 0
+  python -m ai_based_frame_interpolation_tpu dataset \
+    --output-dir "$WORK/test" --videos 6 --size 128 --seed 100
+fi
+
+for spec in "$@"; do
+  name=${spec%%:*}
+  flags=${spec#*:}
+  ck="$WORK/ck_$name"
+  if ls "$WORK/eval_$name"/*.json >/dev/null 2>&1; then
+    echo "== $name: already evaluated, skipping"
+    continue
+  fi
+  echo "== $name: train ($flags)"
+  python -m ai_based_frame_interpolation_tpu train --data-dir "$WORK/train" \
+    --epochs "$EPOCHS" --lr 3e-4 --height 128 --width 128 --save-every 10 \
+    --checkpoint-dir "$ck" $flags > "$WORK/train_$name.log" 2>&1 \
+    || { echo "== $name: TRAIN FAILED (see $WORK/train_$name.log)"; continue; }
+  echo "== $name: eval"
+  python -m ai_based_frame_interpolation_tpu eval --test-dir "$WORK/test" \
+    --model "$ck" --height 128 --width 128 \
+    --output-dir "$WORK/eval_$name" > "$WORK/eval_$name.log" 2>&1 \
+    || echo "== $name: EVAL FAILED (see $WORK/eval_$name.log)"
+done
+
+echo "== summary"
+python - "$WORK" <<'EOF'
+import glob, json, os, sys
+work = sys.argv[1]
+for path in sorted(glob.glob(os.path.join(work, "eval_*", "*.json"))):
+    name = os.path.basename(os.path.dirname(path))[5:]
+    with open(path) as f:
+        r = json.load(f)
+    m = r.get("metrics_by_method", {})
+    row = []
+    for method, met in sorted(m.items()):
+        row.append(f"{method}: SSIM {met.get('avg_ssim', 0):.4f} "
+                   f"PSNR {met.get('avg_psnr', 0):.2f}")
+    print(f"{name:24s} " + " | ".join(row))
+EOF
