@@ -56,7 +56,7 @@ for path in sorted(glob.glob(os.path.join(work, "eval_*", "*.json"))):
     m = r.get("metrics_by_method", {})
     row = []
     for method, met in sorted(m.items()):
-        row.append(f"{method}: SSIM {met.get('avg_ssim', 0):.4f} "
-                   f"PSNR {met.get('avg_psnr', 0):.2f}")
+        row.append(f"{method}: SSIM {met['ssim']['avg']:.4f} "
+                   f"PSNR {met['psnr']['avg']:.2f}")
     print(f"{name:24s} " + " | ".join(row))
 EOF
