@@ -175,3 +175,26 @@ def test_interpolate_at_requires_time_conditioning(engine, tiny_frames):
     f1, f2 = tiny_frames
     with pytest.raises(ValueError):
         engine.interpolate_at(f1, f2, [0.5])
+
+
+def test_engine_is_garbage_collectable(tiny_frames):
+    """Dropped engines (and their compiled executables) must be collectable.
+
+    Round-1 regression: functools.lru_cache on bound methods keyed the
+    global cache on ``self``, keeping every engine alive forever. The
+    per-instance cache must not create an uncollectable cycle either.
+    """
+    import gc
+    import weakref
+
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+
+    f1, f2 = tiny_frames
+    eng = InterpolationEngine.random_init(ModelConfig(base_width=4), seed=2)
+    eng.interpolate_pair(f1, f2)            # populate the jit cache
+    eng.generate_intermediate_frames(f1, f2, 3)
+    assert len(eng._fn_cache) >= 2
+    ref = weakref.ref(eng)
+    del eng
+    gc.collect()
+    assert ref() is None, "engine leaked after drop (jit cache held it)"
