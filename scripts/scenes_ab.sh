@@ -13,19 +13,28 @@
 # re-runnable / resumable. Runs on whatever backend jax selects (the TPU
 # when the tunnel is up); metrics are backend-independent (docs/PERF.md).
 set -u
+set -f   # $flags is word-split on purpose below; never glob-expanded
 WORK=${WORK:-/tmp/scenes_ab}
 EPOCHS=${EPOCHS:-50}
 cd /root/repo
 mkdir -p "$WORK"
 
+# guard each dataset dir independently: an interrupted first run may have
+# created train/ but not test/
 if [ ! -d "$WORK/train" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
     --output-dir "$WORK/train" --videos 24 --size 128 --seed 0
+fi
+if [ ! -d "$WORK/test" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
     --output-dir "$WORK/test" --videos 6 --size 128 --seed 100
 fi
 
 for spec in "$@"; do
+  case "$spec" in
+    *:*) ;;
+    *) echo "== bad arm spec (want name:flags): $spec"; continue;;
+  esac
   name=${spec%%:*}
   flags=${spec#*:}
   ck="$WORK/ck_$name"
@@ -34,8 +43,11 @@ for spec in "$@"; do
     continue
   fi
   echo "== $name: train ($flags)"
+  # --resume is a no-op on a fresh dir; with --save-every 10 it makes an
+  # interrupted arm continue instead of retraining 50 epochs from scratch
   python -m ai_based_frame_interpolation_tpu train --data-dir "$WORK/train" \
     --epochs "$EPOCHS" --lr 3e-4 --height 128 --width 128 --save-every 10 \
+    --resume \
     --checkpoint-dir "$ck" $flags > "$WORK/train_$name.log" 2>&1 \
     || { echo "== $name: TRAIN FAILED (see $WORK/train_$name.log)"; continue; }
   echo "== $name: eval"
