@@ -253,11 +253,19 @@ class ServeConfig:
     model_path: str = "checkpoints"
     max_upload_bytes: int = 50 * 1024 * 1024   # 50 MB cap, api/app.py:36
     max_intermediate: int = 10                 # 1..10, api/app.py:140-141
-    # kept for reference-config compatibility: the reference needed a hard
-    # 300 s subprocess timeout because every request re-imported torch and
-    # reloaded the checkpoint (api/app.py:100); the warm in-process engine
-    # answers in milliseconds after warmup, so nothing enforces this.
+    # per-request deadline (same 300 s contract as the reference's
+    # subprocess timeout, api/app.py:100). Enforced: admission to the video
+    # queue waits at most the remaining budget (503 on expiry) and the
+    # streaming video pipeline aborts between batches once the deadline
+    # passes (504).
     request_timeout_s: float = 300.0
+    # video-job backpressure: at most this many /interpolate-video requests
+    # in flight (1 running + the rest waiting); beyond it the server answers
+    # 503 with Retry-After instead of queueing unboundedly.
+    max_video_queue: int = 3
+    # multipart file parts larger than this spool to disk instead of RAM
+    # (uploads stream from the socket to a per-request temp dir).
+    spool_threshold_bytes: int = 1024 * 1024
     # continuous request batching (serve/batcher.py): concurrent requests
     # that arrive while the device is busy are fused into one batched
     # dispatch when it frees. max_batch bounds the fused batch;

@@ -460,11 +460,17 @@ class InterpolationEngine:
     def interpolate_video_file(self, in_path: str, out_path: str,
                                factor: int = 2, batch_pairs: int = 8,
                                fps: Optional[float] = None,
-                               progress: bool = False) -> dict:
+                               progress: bool = False,
+                               deadline: Optional[float] = None) -> dict:
         """Decode -> interpolate -> encode, all streaming. Returns stats.
 
         This is the real implementation of the reference's advertised
         ``main.py video`` command (``main.py:118-129``, broken there).
+
+        ``deadline`` (absolute ``time.time()``) aborts the job between
+        output frames with ``TimeoutError`` — in-flight device dispatches
+        complete normally (aborting device work mid-flight is never safe);
+        only further host-side work stops.
         """
         from ..data.video import AsyncVideoReader, AsyncVideoWriter
 
@@ -476,6 +482,10 @@ class InterpolationEngine:
         with AsyncVideoWriter(out_path, fps=out_fps) as writer:
             for frame in self.interpolate_video_frames(
                     iter(reader), factor=factor, batch_pairs=batch_pairs):
+                if deadline is not None and time.time() > deadline:
+                    raise TimeoutError(
+                        f"video job exceeded its deadline after {n_out} "
+                        f"output frames")
                 writer.write(frame)
                 n_out += 1
         dt = time.time() - t0
@@ -578,9 +588,11 @@ class InterpolationEngine:
             yield prev
 
     def retime_video_file(self, in_path: str, out_path: str,
-                          target_fps: float, batch_pairs: int = 8) -> dict:
+                          target_fps: float, batch_pairs: int = 8,
+                          deadline: Optional[float] = None) -> dict:
         """Retime a clip to an arbitrary ``target_fps`` (24->60 etc.):
-        decode -> exact-time synthesis -> encode, streaming."""
+        decode -> exact-time synthesis -> encode, streaming. ``deadline``
+        as in ``interpolate_video_file``."""
         from ..data.video import AsyncVideoReader, AsyncVideoWriter
 
         grayscale = self.cfg.channels == 1
@@ -592,6 +604,10 @@ class InterpolationEngine:
         with AsyncVideoWriter(out_path, fps=target_fps) as writer:
             for frame in self.retime_video_frames(iter(reader), rate,
                                                   batch_pairs=batch_pairs):
+                if deadline is not None and time.time() > deadline:
+                    raise TimeoutError(
+                        f"retime job exceeded its deadline after {n_out} "
+                        f"output frames")
                 writer.write(frame)
                 n_out += 1
         dt = time.time() - t0

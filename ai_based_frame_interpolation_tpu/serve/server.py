@@ -48,64 +48,185 @@ ALLOWED_CONTENT_TYPES = {"image/jpeg", "image/jpg", "image/png", "image/bmp",
 
 
 class HTTPError(Exception):
-    def __init__(self, status: int, detail: str):
+    def __init__(self, status: int, detail: str,
+                 headers: Optional[Dict[str, str]] = None):
         super().__init__(detail)
         self.status = status
         self.detail = detail
+        self.headers = headers or {}
 
 
 # ---------------------------------------------------------------------------
-# Multipart parsing (stdlib-only)
+# Multipart parsing (stdlib-only, streaming)
 # ---------------------------------------------------------------------------
 
 class Part:
+    """One multipart field. Small parts live in RAM (``data`` bytes); large
+    file parts are spooled to disk by the streaming parser (``path`` set,
+    ``data`` reads the file back only if someone asks for bytes)."""
+
     def __init__(self, name: str, filename: Optional[str],
-                 content_type: Optional[str], data: bytes):
+                 content_type: Optional[str], data: Optional[bytes] = None,
+                 path: Optional[str] = None):
         self.name = name
         self.filename = filename
         self.content_type = content_type
-        self.data = data
+        self._data = data
+        self.path = path
+        self.size = len(data) if data is not None else os.path.getsize(path)
+
+    @property
+    def data(self) -> bytes:
+        if self._data is None:
+            with open(self.path, "rb") as f:
+                self._data = f.read()
+        return self._data
+
+    def save_to(self, dest: str) -> None:
+        """Materialize this part as a file without an extra RAM copy."""
+        if self.path is not None:
+            import shutil
+
+            shutil.copyfile(self.path, dest)
+        else:
+            with open(dest, "wb") as f:
+                f.write(self._data)
 
 
-def parse_multipart(body: bytes, content_type_header: str) -> Dict[str, Part]:
-    """Parse multipart/form-data into {field_name: Part}."""
+class _PartSink:
+    """Accumulates a part's body; file parts exceeding the spool threshold
+    switch from RAM to a temp file in the per-request spool dir."""
+
+    def __init__(self, spool_dir: Optional[str], threshold: Optional[int]):
+        self._buf = bytearray()
+        self._file = None
+        self._path: Optional[str] = None
+        self._spool_dir = spool_dir
+        self._threshold = threshold     # None = never spool (form fields)
+
+    def write(self, data: bytes) -> None:
+        if self._file is not None:
+            self._file.write(data)
+            return
+        self._buf += data
+        if (self._threshold is not None and self._spool_dir is not None
+                and len(self._buf) > self._threshold):
+            fd, self._path = tempfile.mkstemp(dir=self._spool_dir,
+                                              suffix=".part")
+            self._file = os.fdopen(fd, "wb")
+            self._file.write(bytes(self._buf))
+            self._buf = bytearray()
+
+    def to_part(self, name: str, filename: Optional[str],
+                content_type: Optional[str]) -> Part:
+        if self._file is not None:
+            self._file.close()
+            return Part(name, filename, content_type, path=self._path)
+        return Part(name, filename, content_type, data=bytes(self._buf))
+
+    def discard(self) -> None:
+        if self._file is not None:
+            self._file.close()
+            os.unlink(self._path)
+
+
+def parse_multipart_stream(read, length: int, content_type_header: str,
+                           spool_dir: Optional[str] = None,
+                           spool_threshold: int = 1 << 20) -> Dict[str, Part]:
+    """Parse multipart/form-data incrementally from ``read(n)``.
+
+    The body is consumed in 64 KB chunks; file parts larger than
+    ``spool_threshold`` stream to ``spool_dir`` instead of accumulating in
+    RAM (round-1 VERDICT weak-4: a 50 MB video upload was held in memory —
+    three copies at the worst point). Form fields always stay in RAM.
+    """
     m = re.search(r'boundary="?([^";]+)"?', content_type_header)
     if not m:
         raise HTTPError(400, "malformed multipart request: no boundary")
-    boundary = b"--" + m.group(1).encode()
+    delim = b"\r\n--" + m.group(1).encode()
+    keep = len(delim) + 4           # rolling tail: a boundary may span chunks
+    remaining = length
+
+    def more() -> bytes:
+        nonlocal remaining
+        if remaining <= 0:
+            return b""
+        chunk = read(min(65536, remaining))
+        remaining -= len(chunk)
+        return chunk
+
     parts: Dict[str, Part] = {}
-    # split on boundary; first chunk is preamble, last is the epilogue "--"
-    for chunk in body.split(boundary)[1:]:
-        if chunk in (b"--", b"--\r\n", b"", b"\r\n"):
-            continue
-        chunk = chunk.lstrip(b"\r\n")
-        header_blob, _, data = chunk.partition(b"\r\n\r\n")
-        if not _:
-            continue
-        data = data[:-2] if data.endswith(b"\r\n") else data
+    # the body opens with "--boundary" (no leading CRLF); prefix one so the
+    # first boundary matches the same delimiter as all the others
+    buf = b"\r\n"
+    while delim not in buf:
+        chunk = more()
+        if not chunk:
+            raise HTTPError(400, "malformed multipart request")
+        buf = buf[-keep:] + chunk
+    buf = buf[buf.index(delim) + len(delim):]
+
+    while True:
+        # after a boundary: either the terminal "--" or a part's headers
+        while b"\r\n\r\n" not in buf:
+            if buf.startswith(b"--"):
+                return parts
+            chunk = more()
+            if not chunk:
+                if buf.startswith(b"--") or not buf.strip():
+                    return parts
+                raise HTTPError(400, "malformed multipart request")
+            buf += chunk
+        if buf.startswith(b"--"):
+            return parts
+        header_blob, _, buf = buf.partition(b"\r\n\r\n")
         headers = {}
         for line in header_blob.split(b"\r\n"):
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
         disp = headers.get("content-disposition", "")
         name_m = re.search(r'name="([^"]*)"', disp)
-        if not name_m:
-            continue
         file_m = re.search(r'filename="([^"]*)"', disp)
-        parts[name_m.group(1)] = Part(
-            name=name_m.group(1),
-            filename=file_m.group(1) if file_m else None,
-            content_type=headers.get("content-type"),
-            data=data)
-    return parts
+        sink = _PartSink(spool_dir,
+                         spool_threshold if file_m is not None else None)
+        while True:                  # stream body until the next boundary
+            idx = buf.find(delim)
+            if idx >= 0:
+                sink.write(buf[:idx])
+                buf = buf[idx + len(delim):]
+                break
+            if len(buf) > keep:
+                sink.write(buf[:-keep])
+                buf = buf[-keep:]
+            chunk = more()
+            if not chunk:
+                sink.discard()
+                raise HTTPError(400, "malformed multipart request (truncated)")
+            buf += chunk
+        if name_m:
+            parts[name_m.group(1)] = sink.to_part(
+                name_m.group(1), file_m.group(1) if file_m else None,
+                headers.get("content-type"))
+        else:
+            sink.discard()
+
+
+def parse_multipart(body: bytes, content_type_header: str) -> Dict[str, Part]:
+    """Parse an in-memory multipart body (thin wrapper over the streaming
+    parser — kept for the ASGI flavor and tests)."""
+    import io
+
+    return parse_multipart_stream(io.BytesIO(body).read, len(body),
+                                  content_type_header, spool_dir=None)
 
 
 def validate_image_part(part: Optional[Part], field: str,
                         max_bytes: int) -> bytes:
     """Mirror the reference's upload validation (``api/app.py:52-63,139-154``)."""
-    if part is None or not part.data:
+    if part is None or not part.size:
         raise HTTPError(400, f"missing file field '{field}'")
-    if len(part.data) > max_bytes:
+    if part.size > max_bytes:
         raise HTTPError(400, f"{field} exceeds {max_bytes // (1024*1024)} MB limit")
     ext_ok = bool(part.filename and
                   part.filename.rsplit(".", 1)[-1].lower() in ALLOWED_EXTENSIONS)
@@ -123,9 +244,9 @@ def validate_video_part(part: Optional[Part], field: str,
                         max_bytes: int) -> Part:
     """Upload validation for the video endpoint (same 50 MB contract as
     images — reference ``api/app.py:36``)."""
-    if part is None or not part.data:
+    if part is None or not part.size:
         raise HTTPError(400, f"missing file field '{field}'")
-    if len(part.data) > max_bytes:
+    if part.size > max_bytes:
         raise HTTPError(400, f"{field} exceeds {max_bytes // (1024*1024)} MB limit")
     ext_ok = bool(part.filename and
                   part.filename.rsplit(".", 1)[-1].lower()
@@ -175,8 +296,12 @@ class InterpolationService:
         self.batcher = DynamicBatcher(engine, max_batch=cfg.max_batch,
                                       window_ms=cfg.batch_window_ms)
         self._video_lock = threading.Lock()
+        # video-job backpressure: running + waiting jobs, capped (503 beyond)
+        self._video_jobs = 0
+        self._video_jobs_lock = threading.Lock()
         self.started_at = time.time()
         self.requests_served = 0
+        self.requests_rejected = 0
 
     # -- endpoint catalog (GET /) ------------------------------------------
     def index(self) -> dict:
@@ -203,6 +328,8 @@ class InterpolationService:
         return {"status": "healthy",
                 "uptime_s": round(time.time() - self.started_at, 1),
                 "requests_served": self.requests_served,
+                "requests_rejected": self.requests_rejected,
+                "video_jobs_in_flight": self._video_jobs,
                 "batching": self.batcher.stats,
                 "backend": _backend_name()}
 
@@ -249,7 +376,9 @@ class InterpolationService:
         self.requests_served += 1
         return blob, f"interpolated_frames_{num}inter_{fps}fps.mp4"
 
-    def interpolate_video(self, parts: Dict[str, Part]) -> Tuple[bytes, str]:
+    def interpolate_video(self, parts: Dict[str, Part],
+                          deadline: Optional[float] = None
+                          ) -> Tuple[bytes, str]:
         """Whole-video interpolation: upload a clip, get the 2x/4x/8x-fps
         MP4 back (the ``/interpolate-video`` endpoint the reference README
         promises, ``README.md:130-139``, but never implemented — its
@@ -277,27 +406,56 @@ class InterpolationService:
         ext = (part.filename or "clip.mp4").rsplit(".", 1)[-1].lower()
         if ext not in ALLOWED_VIDEO_EXTENSIONS:
             ext = "mp4"
-        with self._video_lock:  # one video job at a time; pairs still batch
-            with tempfile.TemporaryDirectory() as tmp:
-                in_path = os.path.join(tmp, f"in.{ext}")
-                out_path = os.path.join(tmp, "out.mp4")
-                with open(in_path, "wb") as f:
-                    f.write(part.data)
-                try:
-                    if target_fps:
-                        stats = self.engine.retime_video_file(
-                            in_path, out_path, target_fps=target_fps)
-                    else:
-                        stats = self.engine.interpolate_video_file(
-                            in_path, out_path, factor=factor,
-                            fps=float(fps) if fps else None)
-                except (ValueError, OSError) as e:
-                    raise HTTPError(400, f"could not interpolate video: {e}")
-                if not stats.get("output_frames"):
-                    raise HTTPError(400, "could not decode any frames from "
-                                         "the uploaded video")
-                with open(out_path, "rb") as f:
-                    blob = f.read()
+        deadline = (time.time() + self.cfg.request_timeout_s
+                    if deadline is None else deadline)
+        # backpressure: bounded queue of video jobs (one runs, the rest
+        # wait); beyond the cap answer 503 + Retry-After instead of letting
+        # the queue grow without limit (round-1 VERDICT weak-4)
+        with self._video_jobs_lock:
+            if self._video_jobs >= self.cfg.max_video_queue:
+                self.requests_rejected += 1
+                raise HTTPError(503, "server busy: video queue is full",
+                                headers={"Retry-After": "10"})
+            self._video_jobs += 1
+        try:
+            # one video job on the device at a time; wait at most the
+            # remaining request budget for our turn
+            if not self._video_lock.acquire(
+                    timeout=max(0.0, deadline - time.time())):
+                self.requests_rejected += 1
+                raise HTTPError(503, "server busy: timed out waiting for "
+                                     "the video queue",
+                                headers={"Retry-After": "10"})
+            try:
+                with tempfile.TemporaryDirectory() as tmp:
+                    in_path = os.path.join(tmp, f"in.{ext}")
+                    out_path = os.path.join(tmp, "out.mp4")
+                    part.save_to(in_path)
+                    try:
+                        if target_fps:
+                            stats = self.engine.retime_video_file(
+                                in_path, out_path, target_fps=target_fps,
+                                deadline=deadline)
+                        else:
+                            stats = self.engine.interpolate_video_file(
+                                in_path, out_path, factor=factor,
+                                fps=float(fps) if fps else None,
+                                deadline=deadline)
+                    except TimeoutError as e:
+                        raise HTTPError(504, f"video job timed out: {e}")
+                    except (ValueError, OSError) as e:
+                        raise HTTPError(400,
+                                        f"could not interpolate video: {e}")
+                    if not stats.get("output_frames"):
+                        raise HTTPError(400, "could not decode any frames "
+                                             "from the uploaded video")
+                    with open(out_path, "rb") as f:
+                        blob = f.read()
+            finally:
+                self._video_lock.release()
+        finally:
+            with self._video_jobs_lock:
+                self._video_jobs -= 1
         self.requests_served += 1
         name = (f"retimed_{target_fps:g}fps.mp4" if target_fps
                 else f"interpolated_{factor}x.mp4")
@@ -431,12 +589,14 @@ def make_handler(service: InterpolationService):
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
-        def _send_json(self, obj, status=200):
+        def _send_json(self, obj, status=200, extra_headers=None):
             blob = json.dumps(obj).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(blob)))
             self.send_header("Access-Control-Allow-Origin", "*")
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(blob)
 
@@ -468,24 +628,34 @@ def make_handler(service: InterpolationService):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 if length > service.cfg.max_upload_bytes * 3 + 65536:
-                    raise HTTPError(400, "request too large")
-                body = self.rfile.read(length)
+                    # reject before reading the oversized body; the
+                    # connection is closed rather than draining it
+                    self.close_connection = True
+                    raise HTTPError(413, "request too large")
                 ctype = self.headers.get("Content-Type", "")
                 if "multipart/form-data" not in ctype:
+                    self.close_connection = True
                     raise HTTPError(400, "expected multipart/form-data")
-                parts = parse_multipart(body, ctype)
-                if self.path == "/interpolate-frames":
-                    self._send_json(service.interpolate_frames(parts))
-                    return
-                if self.path == "/evaluate-interpolation":
-                    self._send_json(service.evaluate_interpolation(parts))
-                    return
-                if self.path == "/interpolate-video":
-                    blob, fname = service.interpolate_video(parts)
-                else:
-                    blob, fname = service.interpolate(parts)
+                deadline = time.time() + service.cfg.request_timeout_s
+                with tempfile.TemporaryDirectory() as spool:
+                    parts = parse_multipart_stream(
+                        self.rfile.read, length, ctype, spool_dir=spool,
+                        spool_threshold=service.cfg.spool_threshold_bytes)
+                    if self.path == "/interpolate-frames":
+                        self._send_json(service.interpolate_frames(parts))
+                        return
+                    if self.path == "/evaluate-interpolation":
+                        self._send_json(
+                            service.evaluate_interpolation(parts))
+                        return
+                    if self.path == "/interpolate-video":
+                        blob, fname = service.interpolate_video(
+                            parts, deadline=deadline)
+                    else:
+                        blob, fname = service.interpolate(parts)
             except HTTPError as e:
-                self._send_json({"detail": e.detail}, e.status)
+                self._send_json({"detail": e.detail}, e.status,
+                                extra_headers=e.headers)
                 return
             except Exception as e:  # 500 mapping (api/app.py:193-195)
                 self._send_json({"detail": f"internal error: {e}"}, 500)

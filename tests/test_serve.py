@@ -397,3 +397,155 @@ def test_interpolate_frames_exact_times_with_flow_model():
             assert status == 400, bad
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# round-2 hardening: streaming uploads, backpressure, deadlines
+# ---------------------------------------------------------------------------
+
+def test_parse_multipart_stream_spools_large_files(tmp_path):
+    from ai_based_frame_interpolation_tpu.serve.server import (
+        parse_multipart_stream)
+
+    payload = bytes(range(256)) * 8192          # 2 MB, non-trivial content
+    body, ctype = multipart_body({
+        "video": ("clip.mp4", "video/mp4", payload),
+        "factor": 2})
+    parts = parse_multipart_stream(io.BytesIO(body).read, len(body), ctype,
+                                   spool_dir=str(tmp_path),
+                                   spool_threshold=64 * 1024)
+    # the big file part went to disk; the form field stayed in RAM
+    assert parts["video"].path is not None
+    assert parts["video"].path.startswith(str(tmp_path))
+    assert parts["video"].size == len(payload)
+    assert parts["video"].data == payload       # lazy read-back matches
+    assert parts["factor"].path is None
+    assert parts["factor"].data == b"2"
+    # save_to materializes the spooled part without loss
+    dest = str(tmp_path / "copy.bin")
+    parts["video"].save_to(dest)
+    with open(dest, "rb") as f:
+        assert f.read() == payload
+
+
+def test_parse_multipart_stream_matches_in_memory_parser():
+    body, ctype = multipart_body({
+        "frame1": ("a.png", "image/png", encode_png(value=10)),
+        "frame2": ("b.png", "image/png", encode_png(value=200)),
+        "num_intermediate": 4})
+    from ai_based_frame_interpolation_tpu.serve.server import (
+        parse_multipart, parse_multipart_stream)
+
+    a = parse_multipart(body, ctype)
+    b = parse_multipart_stream(io.BytesIO(body).read, len(body), ctype)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].data == b[k].data
+        assert a[k].filename == b[k].filename
+
+
+def test_spooled_video_upload_end_to_end():
+    """With a tiny spool threshold the video upload streams to disk and the
+    endpoint still works (the save_to path, not part.data)."""
+    eng = InterpolationEngine.random_init(ModelConfig(base_width=4))
+    srv = Server(eng, ServeConfig(host="127.0.0.1", port=0,
+                                  spool_threshold_bytes=1024),
+                 resolution=(64, 64))
+    srv.start_background()
+    try:
+        body, ctype = multipart_body({
+            "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(3)),
+            "factor": 2})
+        status, headers, blob = request(srv, "/interpolate-video", "POST",
+                                        body, ctype)
+        assert status == 200, blob
+        assert len(blob) > 0
+    finally:
+        srv.shutdown()
+
+
+def test_video_queue_backpressure_503():
+    """Jobs beyond max_video_queue are rejected with 503 + Retry-After."""
+    import threading
+    import time as _time
+
+    eng = InterpolationEngine.random_init(ModelConfig(base_width=4))
+    srv = Server(eng, ServeConfig(host="127.0.0.1", port=0,
+                                  max_video_queue=1, request_timeout_s=60),
+                 resolution=(64, 64))
+    srv.start_background()
+    service = srv.service
+    body, ctype = multipart_body({
+        "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(3)),
+        "factor": 2})
+    try:
+        service._video_lock.acquire()       # simulate a long-running job
+        results = {}
+
+        def first():
+            results["first"] = request(srv, "/interpolate-video", "POST",
+                                       body, ctype)
+
+        t = threading.Thread(target=first)
+        t.start()
+        deadline = _time.time() + 10
+        while service._video_jobs < 1 and _time.time() < deadline:
+            _time.sleep(0.02)
+        assert service._video_jobs == 1     # one job waiting for the device
+        # queue is at capacity -> immediate 503 with Retry-After
+        status, headers, blob = request(srv, "/interpolate-video", "POST",
+                                        body, ctype)
+        assert status == 503, blob
+        assert "Retry-After" in headers
+        assert json.loads(blob)["detail"].startswith("server busy")
+        service._video_lock.release()       # let the queued job run
+        t.join(timeout=60)
+        assert results["first"][0] == 200
+        status, _, blob = request(srv, "/health")
+        assert json.loads(blob)["requests_rejected"] >= 1
+    finally:
+        if service._video_lock.locked():
+            try:
+                service._video_lock.release()
+            except RuntimeError:
+                pass
+        srv.shutdown()
+
+
+def test_video_request_deadline_enforced():
+    """An expired request_timeout_s aborts the video job (503 while queued
+    or 504 mid-stream — never an unbounded run)."""
+    eng = InterpolationEngine.random_init(ModelConfig(base_width=4))
+    srv = Server(eng, ServeConfig(host="127.0.0.1", port=0,
+                                  request_timeout_s=0.001),
+                 resolution=(64, 64))
+    srv.start_background()
+    try:
+        body, ctype = multipart_body({
+            "video": ("clip.mp4", "video/mp4", _tiny_video_bytes(4)),
+            "factor": 2})
+        status, _, blob = request(srv, "/interpolate-video", "POST",
+                                  body, ctype)
+        assert status in (503, 504), (status, blob)
+        assert b"time" in blob.lower() or b"busy" in blob.lower()
+    finally:
+        srv.shutdown()
+
+
+def test_oversized_request_rejected_without_reading_body(server):
+    """A Content-Length over the cap is refused up front (413) — the server
+    never reads (or buffers) the oversized body."""
+    import socket
+
+    huge = server.service.cfg.max_upload_bytes * 3 + 65537
+    with socket.create_connection(("127.0.0.1", server.port),
+                                  timeout=30) as s:
+        s.sendall(
+            b"POST /interpolate HTTP/1.1\r\n"
+            b"Host: localhost\r\n"
+            b"Content-Type: multipart/form-data; boundary=x\r\n"
+            + f"Content-Length: {huge}\r\n\r\n".encode())
+        # body intentionally NOT sent; response must arrive anyway
+        s.settimeout(30)
+        resp = s.recv(4096)
+    assert b"413" in resp.split(b"\r\n", 1)[0]
