@@ -133,13 +133,31 @@ def load_variables(directory: str, template=None):
         with open(cfg_path) as f:
             cfg = ModelConfig(**json.load(f))
     path = os.path.join(directory, "variables")
-    if template is not None:
-        tmpl = {"params": template["params"],
-                "batch_stats": template["batch_stats"]}
-        tree = ocp.StandardCheckpointer().restore(path, tmpl)
-    else:
-        tree = ocp.StandardCheckpointer().restore(path)
+    try:
+        if template is not None:
+            tmpl = {"params": template["params"],
+                    "batch_stats": template["batch_stats"]}
+            tree = ocp.StandardCheckpointer().restore(path, tmpl)
+        else:
+            tree = ocp.StandardCheckpointer().restore(path)
+    except ValueError:
+        # saved-device sharding doesn't exist here (e.g. a TPU-trained
+        # checkpoint loaded in a CPU-only process): restore to host numpy;
+        # callers device_put / jit-commit as usual
+        tree = _restore_numpy(path)
     return tree, cfg
+
+
+def _restore_numpy(path: str):
+    """Device-agnostic restore: every leaf comes back as ``np.ndarray``."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 # ---------------------------------------------------------------------------

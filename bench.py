@@ -20,6 +20,44 @@ import sys
 import time
 
 
+V5E_BF16_FLOPS = 197e12       # v5e peak MXU rate (bf16), FLOP/s
+V5E_HBM_BYTES = 819e9         # v5e peak HBM bandwidth, B/s
+
+
+def speed_of_light(engine, height, width, channels, batch, factor=2):
+    """Compiler-reported cost -> roofline bound for one batch dispatch.
+
+    Uses XLA's own cost analysis of the compiled executable (flops + bytes
+    accessed), so the bound tracks the real program, not a hand model. The
+    returned ``sol_ms`` is max(compute, memory) time at v5e peak rates;
+    ``*_bound`` says which wall the program leans on.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    depth = int(math.log2(factor))
+    fn = engine._pair_fn(factor - 1, depth)
+    f = jnp.zeros((batch, height, width, channels), jnp.uint8)
+    try:
+        compiled = fn.lower(engine.variables, f, f).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):      # per-device list on some backends
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None
+    if not flops and not byts:
+        return None
+    t_mxu = flops / V5E_BF16_FLOPS
+    t_hbm = byts / V5E_HBM_BYTES
+    return {"flops_per_batch": flops, "hbm_bytes_per_batch": byts,
+            "sol_ms": round(max(t_mxu, t_hbm) * 1e3, 3),
+            "bound": "hbm" if t_hbm >= t_mxu else "mxu"}
+
+
 def find_batch_and_rate(engine, height, width, channels, candidates,
                         warmup_iters=2, min_seconds=5.0, factor=2):
     import jax
@@ -112,6 +150,10 @@ def main(argv=None):
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the reference-architecture comparison run "
                         "(saves its 1080p remote compile during A/Bs)")
+    p.add_argument("--skip-extras", action="store_true",
+                   help="skip the flow-flagship and RGB companion "
+                        "measurements (A/B runs that only need the "
+                        "primary config)")
     p.add_argument("--batches", type=int, nargs="+",
                    default=[128, 96, 64, 32, 24, 16, 8, 4, 2, 1])
     args = p.parse_args(argv)
@@ -133,6 +175,16 @@ def main(argv=None):
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds, factor=args.factor)
 
+    # roofline self-report: how far the measured rate sits from the
+    # compiler-reported speed-of-light bound (VERDICT round-1 item 8)
+    sol = speed_of_light(engine, args.height, args.width, args.channels,
+                         batch, factor=args.factor)
+    if sol is not None:
+        pairs_per_sec = mid_fps / max(1, args.factor - 1)
+        dispatch_ms = batch / pairs_per_sec * 1e3
+        sol["measured_ms_per_batch"] = round(dispatch_ms, 3)
+        sol["sol_fraction"] = round(sol["sol_ms"] / dispatch_ms, 3)
+
     # also measure the exact-reference-architecture config for comparison
     parity_fps = None
     if args.s2d != 1 and not args.skip_parity:
@@ -142,6 +194,40 @@ def main(argv=None):
             _, parity_fps, _ = find_batch_and_rate(
                 parity_engine, args.height, args.width, args.channels,
                 [4, 2, 1], min_seconds=args.seconds, factor=args.factor)
+        except Exception:
+            pass
+
+    # the two flagship companions of the default unet speed line:
+    # the quality flagship (flow family — converged scenes SSIM 0.929 at
+    # fs4+r16 vs Farneback 0.905, unet production arm 0.888) and the RGB
+    # production config (README.md:180-182 framing of BASELINE.json)
+    flow_flagship = rgb_flagship = None
+    if not args.skip_extras and args.arch == "unet" and args.channels == 1:
+        try:
+            flow_engine = InterpolationEngine.random_init(
+                ModelConfig(arch="flow", base_width=32, flow_scale=4,
+                            refine_width=16, warp_impl="shifts",
+                            max_flow=args.max_flow))
+            fb, ffps, fmid = find_batch_and_rate(
+                flow_engine, args.height, args.width, 1, [96, 64, 32, 16],
+                min_seconds=args.seconds, factor=args.factor)
+            flow_flagship = {"batch": fb, "fps": round(ffps, 2),
+                             "computed_midpoints_per_sec": round(fmid, 2),
+                             "config": "flow fs4+r16 mf32 (scenes SSIM "
+                                       "0.929 converged; unet prod: 0.888)"}
+        except Exception:
+            pass
+        try:
+            rgb_engine = InterpolationEngine.random_init(
+                ModelConfig(channels=3, space_to_depth=args.s2d,
+                            refine_width=args.refine_width))
+            rb, rfps, rmid = find_batch_and_rate(
+                rgb_engine, args.height, args.width, 3, [16, 8, 4],
+                min_seconds=args.seconds, factor=args.factor)
+            rgb_flagship = {"batch": rb, "fps": round(rfps, 2),
+                            "computed_midpoints_per_sec": round(rmid, 2),
+                            "config": f"RGB s2d{args.s2d}+"
+                                      f"r{args.refine_width}"}
         except Exception:
             pass
 
@@ -161,7 +247,10 @@ def main(argv=None):
                    "base_width": engine.cfg.base_width,
                    "computed_midpoints_per_sec": round(mid_fps, 2),
                    "parity_architecture_fps": round(parity_fps, 2)
-                   if parity_fps else None},
+                   if parity_fps else None,
+                   "roofline": sol,
+                   "flow_flagship": flow_flagship,
+                   "rgb_flagship": rgb_flagship},
     }))
     return 0
 
