@@ -25,10 +25,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def maybe_init_distributed() -> None:
     """Initialize multi-process JAX when launched under a cluster manager.
 
-    Single-process runs (everything in this repo's tests/benches) skip this;
-    on a multi-host TPU pod the standard env vars make it a no-op to call.
+    Single-process runs (everything in this repo's tests/benches) skip this.
+    Two launch styles work:
+
+    - cluster auto-detection (TPU pods, SLURM, GKE): set only
+      ``JAX_COORDINATOR_ADDRESS`` and jax discovers the rest;
+    - explicit (the two-process CPU validation in
+      ``scripts/multihost_dryrun.py`` and any hand-rolled launcher): also
+      set ``JAX_NUM_PROCESSES`` and ``JAX_PROCESS_ID``.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+    else:
         jax.distributed.initialize()
 
 
