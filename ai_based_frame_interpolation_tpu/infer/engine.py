@@ -184,6 +184,62 @@ class InterpolationEngine:
             self._fn_cache[key] = self._build_pair_fn(n_out, depth)
         return self._fn_cache[key]
 
+    def _flow_split_jit(self) -> bool:
+        """Split the flow path into two compiled programs (motion backbone;
+        full-res warp/blend sampler) instead of one. Device-resident
+        handoff — no host round trip — so it's throughput-neutral, but each
+        XLA program is roughly half the size. Auto-on for RGB on the TPU
+        tunnel: the single-program 3-channel graph deterministically
+        overruns the remote compile helper at batch >= 16 (docs/STATUS.md
+        round-1 queue); the split compiles. Override via attribute for
+        A/Bs."""
+        override = getattr(self, "flow_split_override", None)
+        if override is not None:
+            return bool(override)
+        return (self.cfg.channels > 1
+                and jax.devices()[0].platform != "cpu")
+
+    def _build_flow_split_fn(self, n_out: int):
+        """Two-program flow path: jitted motion pass + per-shape jitted
+        sampler, composed by a host-side trampoline (the arrays never leave
+        the device between the two dispatches)."""
+
+        def motion_fn(variables, f1_u8, f2_u8):
+            x1, _ = pad_to_multiple(
+                normalize_uint8(f1_u8, self.compute_dtype),
+                self.cfg.pad_multiple)
+            x2, _ = pad_to_multiple(
+                normalize_uint8(f2_u8, self.compute_dtype),
+                self.cfg.pad_multiple)
+            flow, mask = self.model.apply(variables, x1, x2, train=False,
+                                          method="motion")
+            return x1, x2, flow, mask
+
+        jit_motion = jax.jit(motion_fn)
+
+        def sample_fn(hw):
+            def f(variables, x1, x2, flow, mask):
+                b = x1.shape[0]
+                outs = []
+                for i in range(n_out):
+                    t = jnp.full((b,), (i + 1) / (n_out + 1), jnp.float32)
+                    y = self.model.apply(variables, x1, x2, flow, mask, t,
+                                         train=False, method="sample")
+                    outs.append(crop_to(y.astype(self.compute_dtype), hw))
+                return denormalize_to_uint8(jnp.stack(outs, axis=1))
+
+            return jax.jit(f)
+
+        def fn(variables, f1_u8, f2_u8):
+            hw = (int(f1_u8.shape[1]), int(f1_u8.shape[2]))
+            key = ("flow_sample", n_out, hw)
+            if key not in self._fn_cache:
+                self._fn_cache[key] = sample_fn(hw)
+            x1, x2, flow, mask = jit_motion(variables, f1_u8, f2_u8)
+            return self._fn_cache[key](variables, x1, x2, flow, mask)
+
+        return fn
+
     def _build_pair_fn(self, n_out: int, depth: int):
         """Jitted: uint8 pair batch -> uint8 [B, n_out, H, W, C] intermediates.
 
@@ -197,6 +253,9 @@ class InterpolationEngine:
         accumulation, no repeated forwards — see models/flow.py).
         """
         if getattr(self.cfg, "arch", "unet") == "flow":
+            if self._flow_split_jit():
+                return self._build_flow_split_fn(n_out)
+
             def flow_fn(variables, f1_u8, f2_u8):
                 x1, hw = pad_to_multiple(
                     normalize_uint8(f1_u8, self.compute_dtype),

@@ -198,3 +198,24 @@ def test_engine_is_garbage_collectable(tiny_frames):
     del eng
     gc.collect()
     assert ref() is None, "engine leaked after drop (jit cache held it)"
+
+
+def test_flow_split_jit_matches_single_program(tiny_frames):
+    """The two-program flow path (motion jit + sampler jit, used to stay
+    under the remote compile helper's graph limit for RGB at 1080p) must
+    produce the same frames as the single-program path. uint8 outputs from
+    different compiled programs may wobble 1 LSB (bf16 reduction order)."""
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+
+    f1, f2 = tiny_frames
+    eng = InterpolationEngine.random_init(
+        ModelConfig(arch="flow", base_width=4), seed=3)
+    eng.flow_split_override = False
+    single = eng.generate_intermediate_frames(f1, f2, 3)
+    eng2 = InterpolationEngine.random_init(
+        ModelConfig(arch="flow", base_width=4), seed=3)
+    eng2.flow_split_override = True
+    split = eng2.generate_intermediate_frames(f1, f2, 3)
+    assert len(single) == len(split) == 3
+    for a, b in zip(single, split):
+        np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
