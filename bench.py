@@ -154,9 +154,18 @@ def main(argv=None):
                    help="skip the flow-flagship and RGB companion "
                         "measurements (A/B runs that only need the "
                         "primary config)")
+    p.add_argument("--budget-s", type=float, default=1500.0,
+                   help="wall-clock budget: each companion measurement is "
+                        "skipped once the run has used this many seconds "
+                        "(remote 1080p compiles are minutes each; the "
+                        "primary metric must always print)")
     p.add_argument("--batches", type=int, nargs="+",
                    default=[128, 96, 64, 32, 24, 16, 8, 4, 2, 1])
     args = p.parse_args(argv)
+    t_start = time.perf_counter()
+
+    def budget_left() -> bool:
+        return time.perf_counter() - t_start < args.budget_s
 
     import jax
 
@@ -195,7 +204,7 @@ def main(argv=None):
 
     # also measure the exact-reference-architecture config for comparison
     parity_fps = None
-    if args.s2d != 1 and not args.skip_parity:
+    if args.s2d != 1 and not args.skip_parity and budget_left():
         try:
             parity_engine = InterpolationEngine.random_init(
                 ModelConfig(channels=args.channels))
@@ -210,7 +219,8 @@ def main(argv=None):
     # fs4+r16 vs Farneback 0.905, unet production arm 0.888) and the RGB
     # production config (README.md:180-182 framing of BASELINE.json)
     flow_flagship = rgb_flagship = None
-    if not args.skip_extras and args.arch == "unet" and args.channels == 1:
+    if not args.skip_extras and args.arch == "unet" and args.channels == 1 \
+            and budget_left():
         try:
             flow_engine = InterpolationEngine.random_init(
                 ModelConfig(arch="flow", base_width=32, flow_scale=4,
@@ -226,6 +236,8 @@ def main(argv=None):
         except Exception:
             pass
         try:
+            if not budget_left():
+                raise RuntimeError("budget exhausted")
             rgb_engine = InterpolationEngine.random_init(
                 ModelConfig(channels=3, space_to_depth=args.s2d,
                             refine_width=args.refine_width))
