@@ -66,6 +66,7 @@ def find_batch_and_rate(engine, height, width, channels, candidates,
 
     rng = np.random.default_rng(0)
     last_err = None
+    errors = {}
     for batch in candidates:
         try:
             f1 = jnp.asarray(rng.integers(0, 255, (batch, height, width,
@@ -102,9 +103,10 @@ def find_batch_and_rate(engine, height, width, channels, candidates,
             # midpoints + 1 pass-through original).
             pairs_per_sec = (batch * iters) / dt
             return (batch, factor * pairs_per_sec,
-                    (factor - 1) * pairs_per_sec)
+                    (factor - 1) * pairs_per_sec, errors)
         except Exception as e:  # OOM at this batch -> try smaller
             last_err = e
+            errors[batch] = f"{type(e).__name__}: {str(e)[:160]}"
             continue
     raise RuntimeError(f"all batch sizes failed; last error: {last_err}")
 
@@ -188,7 +190,7 @@ def main(argv=None):
                     warp_impl=args.warp_impl, max_flow=args.max_flow,
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
-    batch, fps, mid_fps = find_batch_and_rate(
+    batch, fps, mid_fps, batch_errors = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds, factor=args.factor)
 
@@ -208,7 +210,7 @@ def main(argv=None):
         try:
             parity_engine = InterpolationEngine.random_init(
                 ModelConfig(channels=args.channels))
-            _, parity_fps, _ = find_batch_and_rate(
+            _, parity_fps, _, _ = find_batch_and_rate(
                 parity_engine, args.height, args.width, args.channels,
                 [4, 2, 1], min_seconds=args.seconds, factor=args.factor)
         except Exception:
@@ -226,10 +228,11 @@ def main(argv=None):
                 ModelConfig(arch="flow", base_width=32, flow_scale=4,
                             refine_width=16, warp_impl="shifts",
                             max_flow=args.max_flow))
-            fb, ffps, fmid = find_batch_and_rate(
+            fb, ffps, fmid, ferrs = find_batch_and_rate(
                 flow_engine, args.height, args.width, 1, [96, 64, 32, 16],
                 min_seconds=args.seconds, factor=args.factor)
             flow_flagship = {"batch": fb, "fps": round(ffps, 2),
+                             "batch_errors": ferrs or None,
                              "computed_midpoints_per_sec": round(fmid, 2),
                              "config": "flow fs4+r16 mf32 (scenes SSIM "
                                        "0.929 converged; unet prod: 0.888)"}
@@ -241,10 +244,11 @@ def main(argv=None):
             rgb_engine = InterpolationEngine.random_init(
                 ModelConfig(channels=3, space_to_depth=args.s2d,
                             refine_width=args.refine_width))
-            rb, rfps, rmid = find_batch_and_rate(
+            rb, rfps, rmid, rerrs = find_batch_and_rate(
                 rgb_engine, args.height, args.width, 3, [16, 8, 4],
                 min_seconds=args.seconds, factor=args.factor)
             rgb_flagship = {"batch": rb, "fps": round(rfps, 2),
+                            "batch_errors": rerrs or None,
                             "computed_midpoints_per_sec": round(rmid, 2),
                             "config": f"RGB s2d{args.s2d}+"
                                       f"r{args.refine_width}"}
@@ -266,6 +270,7 @@ def main(argv=None):
                    "refine_width": engine.cfg.refine_width,
                    "base_width": engine.cfg.base_width,
                    "computed_midpoints_per_sec": round(mid_fps, 2),
+                   "batch_errors": batch_errors or None,
                    "parity_architecture_fps": round(parity_fps, 2)
                    if parity_fps else None,
                    "roofline": sol,
