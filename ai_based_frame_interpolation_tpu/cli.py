@@ -131,6 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "supervision weight — L1 between each frame and "
                         "its full warp from the other frame (0 = off; "
                         "try 0.05-0.2)")
+    t.add_argument("--flow-cascade", type=int, default=0,
+                   help="flow family: residual field-refinement stages "
+                        "after the backbone (each = 2 midpoint warps + a "
+                        "thin full-res conv stack emitting flow/mask "
+                        "residuals, zero-initialized; RIFE-style "
+                        "coarse-to-fine). 0 = off")
     t.add_argument("--flow-bidir", action="store_true",
                    help="flow family only: predict two independent motion "
                         "fields (f1->f2 and f2->f1, Super-SloMo-style "
@@ -355,10 +361,13 @@ def cmd_train(args) -> int:
                        base_width=args.base_width,
                        flow_scale=args.flow_scale,
                        flow_bidir=args.flow_bidir,
+                       flow_cascade=args.flow_cascade,
                        warp_impl=args.warp_impl,
                        max_flow=args.max_flow)
     if args.flow_bidir and args.arch != "flow":
         raise SystemExit("error: --flow-bidir requires --arch flow")
+    if args.flow_cascade and args.arch != "flow":
+        raise SystemExit("error: --flow-cascade requires --arch flow")
     if args.flow_smooth > 0 and args.arch != "flow":
         raise SystemExit("error: --flow-smooth regularizes the flow "
                          "family's motion field; it requires --arch flow")

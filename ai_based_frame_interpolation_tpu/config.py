@@ -98,6 +98,17 @@ class ModelConfig:
     # near occlusions and under non-symmetric motion. Costs 2 extra backbone
     # output channels (nothing at inference beyond the same two warps).
     flow_bidir: bool = False
+    # flow family only: number of residual field-refinement stages after
+    # the backbone (coarse-to-fine in the RIFE/IFRNet spirit). Each stage
+    # warps both frames to the midpoint with the current field, feeds
+    # [f1, f2, g0, g1, flow, mask] through a small 3-conv full-resolution
+    # net, and adds a residual to the field and the mask logit (the
+    # residual conv is zero-initialized, so stage k starts as identity and
+    # training only uses it where the coarse field is wrong — occlusions,
+    # motion boundaries). The refined field is time-independent, so the
+    # one-backbone-pass-per-pair amortization over sample times survives.
+    # Inference cost per stage: two extra warps + a thin conv stack. 0 = off.
+    flow_cascade: int = 0
     # flow family only: backward_warp strategy (ops/warp.py).
     # "gather4" = four 1-element corner gathers; "patch" = ONE gather of
     # 2x2 slices (4x fewer gather descriptors) — those two are numerically

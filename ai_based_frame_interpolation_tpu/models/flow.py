@@ -113,6 +113,23 @@ class FlowInterpolator(nn.Module):
                                    name="refine2")
             self.refine_out = nn.Conv(self.cfg.channels, (1, 1),
                                       dtype=jnp.float32, name="refine_out")
+        if getattr(self.cfg, "flow_cascade", 0) > 0:
+            nf = 4 if self.cfg.flow_bidir else 2
+            cdt = self.compute_dtype
+            stages = []
+            for k in range(self.cfg.flow_cascade):
+                stages.append((
+                    nn.Conv(32, (3, 3), padding="SAME", dtype=cdt,
+                            name=f"cascade{k}_1"),
+                    nn.Conv(32, (3, 3), padding="SAME", dtype=cdt,
+                            name=f"cascade{k}_2"),
+                    # zero-init residual head: each stage starts as the
+                    # identity on (flow, mask) and only learns corrections
+                    nn.Conv(nf + 1, (3, 3), padding="SAME",
+                            dtype=jnp.float32,
+                            kernel_init=nn.initializers.zeros,
+                            name=f"cascade{k}_out")))
+            self.cascade_stages = stages
 
     def motion(self, frame1: jax.Array, frame2: jax.Array,
                train: bool = False) -> Tuple[jax.Array, jax.Array]:
@@ -145,7 +162,38 @@ class FlowInterpolator(nn.Module):
                                    align_corners=False)
             mask_logit = resize_bilinear(mask_logit, full_hw,
                                          align_corners=False)
+        for stage in getattr(self, "cascade_stages", ()):
+            flow, mask_logit = self._cascade_step(stage, frame1, frame2,
+                                                  flow, mask_logit)
         return flow, nn.sigmoid(mask_logit)
+
+    def _cascade_step(self, stage, frame1, frame2, flow, mask_logit):
+        """One residual field-refinement stage (cfg.flow_cascade): warp both
+        frames to the midpoint with the CURRENT field, let a thin full-res
+        net see where the candidates disagree, and emit residuals for the
+        field and the mask logit. Runs at t=0.5 (the training target time);
+        the corrected field remains time-independent, so amortized
+        arbitrary-time sampling is unaffected."""
+        conv1, conv2, conv_out = stage
+        cdt = self.compute_dtype
+        half = jnp.float32(0.5)
+        if self.cfg.flow_bidir:
+            f01, f10 = flow[..., :2], flow[..., 2:4]
+            ft0, ft1 = -0.25 * f01 + 0.25 * f10, 0.25 * f01 - 0.25 * f10
+        else:
+            ft0, ft1 = -half * flow, half * flow
+        g0 = backward_warp(frame1.astype(cdt), ft0, impl=self.cfg.warp_impl,
+                           max_flow=self.cfg.max_flow)
+        g1 = backward_warp(frame2.astype(cdt), ft1, impl=self.cfg.warp_impl,
+                           max_flow=self.cfg.max_flow)
+        z = jnp.concatenate([frame1.astype(cdt), frame2.astype(cdt), g0, g1,
+                             flow.astype(cdt), mask_logit.astype(cdt)],
+                            axis=-1)
+        z = nn.relu(conv1(z))
+        z = nn.relu(conv2(z))
+        d = conv_out(z.astype(jnp.float32))
+        nf = 4 if self.cfg.flow_bidir else 2
+        return flow + d[..., :nf], mask_logit + d[..., nf:nf + 1]
 
     def sample(self, frame1: jax.Array, frame2: jax.Array, flow: jax.Array,
                mask: jax.Array, t: jax.Array,

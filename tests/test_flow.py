@@ -467,3 +467,68 @@ def test_warp_impl_knob_is_output_invariant(tiny_frames):
         eng = InterpolationEngine.random_init(cfg, seed=0)
         outs.append(eng.interpolate_pair(f1, f2))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_flow_cascade_starts_as_identity(tiny_frames):
+    """cfg.flow_cascade stages have zero-initialized residual heads: at
+    init the cascaded model's motion field must equal the cascade-free
+    model's (same backbone seed), so training starts from the proven
+    baseline and only learns corrections."""
+    import jax
+    import jax.numpy as jnp
+
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+    from ai_based_frame_interpolation_tpu.models.flow import FlowInterpolator
+    from ai_based_frame_interpolation_tpu.ops.image import normalize_uint8
+
+    f1u, f2u = tiny_frames
+    x1 = normalize_uint8(f1u[None], jnp.float32)
+    x2 = normalize_uint8(f2u[None], jnp.float32)
+
+    flows = {}
+    for cascade in (0, 2):
+        cfg = ModelConfig(arch="flow", base_width=4, flow_cascade=cascade)
+        m = FlowInterpolator(cfg=cfg, compute_dtype=jnp.float32)
+        v = jax.jit(lambda a, b: m.init(jax.random.key(7), a, b,
+                                        train=False))(x1, x2)
+        if cascade:
+            assert any(k.startswith("cascade") for k in v["params"])
+        flows[cascade] = jax.jit(
+            lambda v, a, b: m.apply(v, a, b, train=False,
+                                    method="motion"))(v, x1, x2)[0]
+    np.testing.assert_allclose(np.asarray(flows[0]), np.asarray(flows[2]),
+                               atol=1e-5)
+
+
+def test_flow_cascade_trains_and_changes_field(tiny_frames):
+    """A gradient step must reach the cascade parameters (the zero init
+    must not block learning: the residual head's INPUT gradients are
+    nonzero)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+    from ai_based_frame_interpolation_tpu.models.flow import FlowInterpolator
+    from ai_based_frame_interpolation_tpu.ops.image import normalize_uint8
+
+    f1u, f2u = tiny_frames
+    x1 = normalize_uint8(f1u[None], jnp.float32)
+    x2 = normalize_uint8(f2u[None], jnp.float32)
+    gt = normalize_uint8(np.roll(f1u, 3, axis=1)[None], jnp.float32)
+
+    cfg = ModelConfig(arch="flow", base_width=4, flow_cascade=1)
+    m = FlowInterpolator(cfg=cfg, compute_dtype=jnp.float32)
+    v = jax.jit(lambda a, b: m.init(jax.random.key(7), a, b,
+                                    train=False))(x1, x2)
+
+    def loss_fn(params):
+        out = m.apply({"params": params, **{k: v[k] for k in v
+                                            if k != "params"}},
+                      x1, x2, train=False)
+        return jnp.mean((out - gt) ** 2)
+
+    grads = jax.jit(jax.grad(loss_fn))(v["params"])
+    gnorm = float(optax.global_norm(
+        {k: g for k, g in grads.items() if k.startswith("cascade")}))
+    assert gnorm > 0, "no gradient reached the cascade stage"
