@@ -184,6 +184,40 @@ class InterpolationEngine:
             self._fn_cache[key] = self._build_pair_fn(n_out, depth)
         return self._fn_cache[key]
 
+    def _flow_sampler_fused_ok(self, x) -> bool:
+        """Route the flow sampler to the fused Pallas kernel
+        (``ops/pallas/warp_fused``: both shifts-warps + blend in one
+        row-tiled program) when eligible. ``sampler_impl`` attribute:
+        "auto" (default; kernel on TPU), "xla" (always the Flax path),
+        "pallas" (force — interpret mode off-TPU, used by tests)."""
+        impl = getattr(self, "sampler_impl", "auto")
+        if impl == "xla" or self.mesh is not None:
+            return False
+        from ..ops.pallas.warp_fused import eligible
+
+        if not eligible(self.cfg, x.shape):
+            return False
+        if impl == "pallas":
+            return True
+        return jax.devices()[0].platform == "tpu"
+
+    def _flow_sample(self, variables, x1, x2, flow, mask, t):
+        """One time-t sample from a precomputed field — fused kernel
+        (warps + blend) + the model's refine head, or the monolithic Flax
+        ``sample`` method. Same math; the kernel interpolates in f32 where
+        the bf16 Flax path interpolates in bf16."""
+        if self._flow_sampler_fused_ok(x1):
+            from ..ops.pallas.warp_fused import sample_fused
+
+            out, g0, g1 = sample_fused(
+                x1, x2, flow, mask, t,
+                max_flow=self.cfg.max_flow,
+                interpret=jax.devices()[0].platform != "tpu")
+            return self.model.apply(variables, out, g0, g1, x1, x2,
+                                    method="refine")
+        return self.model.apply(variables, x1, x2, flow, mask, t,
+                                train=False, method="sample")
+
     def _flow_split_jit(self) -> bool:
         """Split the flow path into two compiled programs (motion backbone;
         full-res warp/blend sampler) instead of one. Device-resident
@@ -223,8 +257,7 @@ class InterpolationEngine:
                 outs = []
                 for i in range(n_out):
                     t = jnp.full((b,), (i + 1) / (n_out + 1), jnp.float32)
-                    y = self.model.apply(variables, x1, x2, flow, mask, t,
-                                         train=False, method="sample")
+                    y = self._flow_sample(variables, x1, x2, flow, mask, t)
                     outs.append(crop_to(y.astype(self.compute_dtype), hw))
                 return denormalize_to_uint8(jnp.stack(outs, axis=1))
 
@@ -269,8 +302,7 @@ class InterpolationEngine:
                 outs = []
                 for i in range(n_out):
                     t = jnp.full((b,), (i + 1) / (n_out + 1), jnp.float32)
-                    y = self.model.apply(variables, x1, x2, flow, mask, t,
-                                         train=False, method="sample")
+                    y = self._flow_sample(variables, x1, x2, flow, mask, t)
                     outs.append(crop_to(y.astype(self.compute_dtype), hw))
                 return denormalize_to_uint8(jnp.stack(outs, axis=1))
 
@@ -392,8 +424,7 @@ class InterpolationEngine:
             for i in range(n_t):
                 t = jnp.broadcast_to(ts[i], (b,)).astype(jnp.float32)
                 if is_flow:
-                    y = self.model.apply(variables, x1, x2, flow, mask, t,
-                                         train=False, method="sample")
+                    y = self._flow_sample(variables, x1, x2, flow, mask, t)
                 else:
                     y = self.model.apply(variables, x1, x2, t=t, train=False)
                 outs.append(crop_to(y.astype(self.compute_dtype), hw))

@@ -222,12 +222,23 @@ class FlowInterpolator(nn.Module):
         w1 = (tb * (1.0 - mask)).astype(jnp.float32)
         out = ((w0 * g0.astype(jnp.float32) + w1 * g1.astype(jnp.float32))
                / (w0 + w1 + 1e-6))
-        if self.cfg.refine_width > 0:
-            z = jnp.concatenate([out.astype(cdt), g0, g1, f1, f2], axis=-1)
-            z = nn.relu(self.refine1(z))
-            z = nn.relu(self.refine2(z))
-            out = out + self.refine_out(z.astype(jnp.float32))
-        return out
+        return self.refine(out, g0, g1, f1, f2)
+
+    def refine(self, out: jax.Array, g0: jax.Array, g1: jax.Array,
+               frame1: jax.Array, frame2: jax.Array) -> jax.Array:
+        """The optional refinement head alone — exposed as a method so the
+        engine can pair it with the fused Pallas sampler
+        (``ops/pallas/warp_fused.sample_fused`` computes out/g0/g1 in one
+        kernel; this applies the same convs the monolithic path uses)."""
+        if self.cfg.refine_width <= 0:
+            return out
+        cdt = self.compute_dtype
+        z = jnp.concatenate([out.astype(cdt), g0.astype(cdt),
+                             g1.astype(cdt), frame1.astype(cdt),
+                             frame2.astype(cdt)], axis=-1)
+        z = nn.relu(self.refine1(z))
+        z = nn.relu(self.refine2(z))
+        return out + self.refine_out(z.astype(jnp.float32))
 
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
                  t: Optional[jax.Array] = None,

@@ -1,0 +1,218 @@
+"""Fused flow-sampler kernel: both shifts-warps + time-weighted blend in one
+row-tiled Pallas program.
+
+Under XLA the flow family's sampler
+(``models/flow.py:FlowInterpolator.sample``, single-field path) runs as two
+separable shifts-warps (``ops/warp.py:_warp_axis_shifts`` — X pass then Y
+pass per warp, ``2*(2*max_flow + 2)`` statically shifted copies each) plus
+an elementwise blend. Even with the chained-barrier accumulation schedule
+that costs ~1.1 ms per 1080p warp (docs/PERF.md): every 8-term partial sum
+round-trips a frame-sized tensor through HBM, and the X and Y passes each
+materialize a full intermediate frame. This kernel keeps one row tile of
+everything in VMEM and runs all four 1-D passes plus the blend before
+anything touches HBM again:
+
+- HBM traffic per sampled frame drops from ~15 frame-sized tensors to the
+  irreducible set: read f1, f2, flow (2 ch), mask once, write g0, g1, out
+  once (g0/g1 feed the refinement head).
+- Shift semantics are IDENTICAL to ``warp_impl="shifts"`` (same per-axis
+  clamp, border replicate, source-row X sampling) but computed in f32 —
+  the XLA production path interpolates in bf16, so outputs agree to bf16
+  tolerance, not bitwise.
+
+Layout notes (hard-won in the refine/SSIM kernels, CLAUDE.md):
+
+- Row DMA extents must be 8-aligned: the tile + warp halo (``th + 2*rmax +
+  1`` rows) is rounded up to 8 and the padded source arrays are extended so
+  the last tile's DMA stays in bounds.
+- The X pass needs an edge-replicated, lane-padded row: each tile writes its
+  rows into a ``(rows8, Wp)`` VMEM scratch (``Wp = W + 2*rmax + 1`` rounded
+  up to 128 lanes) and the 66 shifted copies become static lane slices.
+- Y-axis border replicate is prepaid in XLA: the images and the X
+  displacement field are row-padded with ``rmax`` edge rows before the call,
+  so the kernel never special-cases the first/last tile.
+
+Reference capability line: the reference's only warp is the host-side
+Farneback baseline (``model/evaluation.py:142-192``); this kernel is the
+TPU-native production path of the learned equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _axis_weights(pos, grid, k: int):
+    """Per-pixel weight of shift offset ``k`` for clamped position ``pos``
+    (f32): bilinear hat on the two offsets straddling ``pos`` — exactly
+    ``ops/warp.py:_warp_axis_shifts``'s select pair."""
+    k0 = jnp.floor(pos)
+    frac = pos - k0
+    rel = k0 - grid
+    return (jnp.where(rel == k, 1.0 - frac, 0.0)
+            + jnp.where(rel == k - 1, frac, 0.0))
+
+
+def _warp_tile_x(img_rows, fx_rows, scale, rmax: int, width: int):
+    """X pass over a (rows, W) tile: out[r, x] = img[r, x + clip(s*fx)]."""
+    ftx = jnp.clip(scale * fx_rows, -rmax, rmax)
+    grid = jax.lax.broadcasted_iota(jnp.float32, ftx.shape, 1)
+    pos = jnp.clip(grid + ftx, 0.0, width - 1)
+    # edge-replicated lane padding (value, not scratch — Mosaic sizes it)
+    rows = img_rows.shape[0]
+    padded = jnp.concatenate(
+        [jnp.broadcast_to(img_rows[:, :1], (rows, rmax)), img_rows,
+         jnp.broadcast_to(img_rows[:, width - 1:width], (rows, rmax + 1))],
+        axis=1)
+    out = jnp.zeros_like(img_rows)
+    for k in range(-rmax, rmax + 2):
+        w = _axis_weights(pos, grid, k)
+        out = out + jax.lax.slice_in_dim(padded, rmax + k, rmax + k + width,
+                                         axis=1) * w
+    return out
+
+
+def _warp_tile_y(hx, fy_tile, scale, rmax: int, height: int, r0, th: int):
+    """Y pass: output rows [r0, r0+th) from X-warped rows hx (tile-local,
+    row j of the output reads hx rows [j, j + 2*rmax + 1])."""
+    fty = jnp.clip(scale * fy_tile, -rmax, rmax)
+    grid = (jax.lax.broadcasted_iota(jnp.float32, fty.shape, 0)
+            + r0.astype(jnp.float32))
+    pos = jnp.clip(grid + fty, 0.0, height - 1)
+    out = jnp.zeros_like(fty)
+    for k in range(-rmax, rmax + 2):
+        w = _axis_weights(pos, grid, k)
+        out = out + jax.lax.slice_in_dim(hx, rmax + k, rmax + k + th,
+                                         axis=0) * w
+    return out
+
+
+def _sampler_kernel(t_ref, f1_hbm, f2_hbm, fx_hbm, fy_ref, mask_ref,
+                    g0_ref, g1_ref, out_ref, *, th: int, rmax: int,
+                    height: int, width: int):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    rows = _round_up(th + 2 * rmax + 1, 8)
+    r0 = ti * th                      # padded-array row of output row r0
+
+    def body(f1s, f2s, fxs, sem):
+        copies = [
+            pltpu.make_async_copy(f1_hbm.at[bi, pl.ds(r0, rows), :], f1s,
+                                  sem.at[0]),
+            pltpu.make_async_copy(f2_hbm.at[bi, pl.ds(r0, rows), :], f2s,
+                                  sem.at[1]),
+            pltpu.make_async_copy(fx_hbm.at[bi, pl.ds(r0, rows), :], fxs,
+                                  sem.at[2]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        t = t_ref[0, 0]
+        s0 = -t                       # g0 warps f1 by -t * flow
+        s1 = 1.0 - t                  # g1 warps f2 by (1-t) * flow
+        fx = fxs[:].astype(jnp.float32)
+        hx0 = _warp_tile_x(f1s[:].astype(jnp.float32), fx, s0, rmax, width)
+        hx1 = _warp_tile_x(f2s[:].astype(jnp.float32), fx, s1, rmax, width)
+        fy = fy_ref[0].astype(jnp.float32)
+        g0 = _warp_tile_y(hx0, fy, s0, rmax, height, r0, th)
+        g1 = _warp_tile_y(hx1, fy, s1, rmax, height, r0, th)
+        m = mask_ref[0].astype(jnp.float32)
+        w0 = (1.0 - t) * m
+        w1 = t * (1.0 - m)
+        out = (w0 * g0 + w1 * g1) / (w0 + w1 + 1e-6)
+        g0_ref[0] = g0
+        g1_ref[0] = g1
+        out_ref[0] = out
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((rows, width), f1_hbm.dtype),
+        pltpu.VMEM((rows, width), f2_hbm.dtype),
+        pltpu.VMEM((rows, width), fx_hbm.dtype),
+        pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+_TILE_ROWS = 64
+
+
+def eligible(cfg, channels_last_shape) -> bool:
+    """Kernel eligibility: single-field flow (no bidir), shifts warp,
+    grayscale frames, rows enough for one tile."""
+    h, w, c = channels_last_shape[-3:]
+    return (not cfg.flow_bidir and cfg.warp_impl == "shifts" and c == 1
+            and h >= 8 and w >= 2 * cfg.max_flow + 2 and w <= 8192)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_flow", "tile_rows", "interpret"))
+def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
+                 mask: jax.Array, t: jax.Array, max_flow: int = 32,
+                 tile_rows: int = _TILE_ROWS,
+                 interpret: bool = False):
+    """Fused single-field flow sampler (shifts semantics, f32 math).
+
+    Parameters: ``f1, f2`` [B,H,W,1] (any float dtype), ``flow`` [B,H,W,2]
+    (x then y displacement, pixels), ``mask`` [B,H,W,1] blend weight in
+    [0,1], ``t`` [B] sample times. Returns ``(out, g0, g1)`` — each
+    [B,H,W,1] f32: the blended frame and the two warped candidates (the
+    refinement head consumes all three).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, _ = f1.shape
+    rmax = int(max_flow)
+    th = min(tile_rows, _round_up(h, 8))
+    nt = pl.cdiv(h, th)
+    rows = _round_up(th + 2 * rmax + 1, 8)
+    # Row-pad once in XLA so every tile's halo DMA is in bounds and Y border
+    # replicate is free: padded row r maps to image row r - rmax.
+    pad_lo = rmax
+    pad_hi = (nt - 1) * th + rows - rmax - h
+    def rowpad(x):
+        return jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="edge")
+
+    f1p = rowpad(f1[..., 0])
+    f2p = rowpad(f2[..., 0])
+    fxp = rowpad(flow[..., 0].astype(jnp.float32))
+    fy = flow[..., 1].astype(jnp.float32)
+    m2 = mask[..., 0].astype(jnp.float32)
+    t2 = jnp.reshape(t.astype(jnp.float32), (b, 1))
+
+    grid = (b, nt)
+
+    def tile_spec():
+        return pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    g0, g1, out = pl.pallas_call(
+        functools.partial(_sampler_kernel, th=th, rmax=rmax, height=h,
+                          width=w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            tile_spec(),
+            tile_spec(),
+        ],
+        out_specs=[tile_spec(), tile_spec(), tile_spec()],
+        out_shape=[jax.ShapeDtypeStruct((b, nt * th, w), jnp.float32)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(t2, f1p, f2p, fxp, fy, m2)
+    return (out[:, :h, :, None], g0[:, :h, :, None], g1[:, :h, :, None])
