@@ -148,6 +148,10 @@ def main(argv=None):
                         "range at ~sqrt cost)")
     p.add_argument("--max-flow", type=int, default=32,
                    help="shifts/pyramid warp displacement bound (px)")
+    p.add_argument("--sampler-impl", default="auto",
+                   choices=("auto", "xla", "pallas"),
+                   help="flow family: sampler route (auto = fused Pallas "
+                        "warp+blend kernel on TPU when eligible)")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the reference-architecture comparison run "
@@ -190,6 +194,7 @@ def main(argv=None):
                     warp_impl=args.warp_impl, max_flow=args.max_flow,
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
+    engine.sampler_impl = args.sampler_impl
     batch, fps, mid_fps, batch_errors = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds, factor=args.factor)
