@@ -64,6 +64,16 @@ class InterpolationEngine:
         # (TPU, grayscale, refine_factor=1, single device); "xla" = always
         # the Flax/XLA branch. Same math either way (test_refine_fused.py).
         self.refine_impl = refine_impl
+        # Cap on the batch any ONE compiled dispatch sees. None = off.
+        # When set, `_pair_fn` transparently splits larger batches into
+        # sequential microbatch dispatches of the SAME compiled program and
+        # concatenates on device. This exists for configs whose monolithic
+        # graph overruns the remote compile helper above some batch (RGB
+        # flow at 1080p fails to compile at batch >= 16, docs/STATUS.md):
+        # the caller keeps its production batch; the engine compiles once
+        # at the cap and loops. Throughput == the cap's rate (the chunks
+        # are the same executable), so pick the largest batch that compiles.
+        self.max_dispatch_batch: Optional[int] = None
         # Per-instance compiled-function cache. NOT functools.lru_cache on
         # the methods: that keys on ``self`` in a global cache, so every
         # engine (and its compiled 1080p executables) would live forever —
@@ -181,8 +191,30 @@ class InterpolationEngine:
     def _pair_fn(self, n_out: int, depth: int):
         key = ("pair", n_out, depth)
         if key not in self._fn_cache:
-            self._fn_cache[key] = self._build_pair_fn(n_out, depth)
+            self._fn_cache[key] = self._chunk_batches(
+                self._build_pair_fn(n_out, depth))
         return self._fn_cache[key]
+
+    def _chunk_batches(self, fn):
+        """Microbatch wrapper honoring ``max_dispatch_batch`` (see __init__).
+
+        Equal-size chunks reuse one compiled executable; an uneven tail
+        chunk costs one extra compile for its shape (callers who care pick
+        divisible batches). Under a mesh the inputs are already sharded
+        across devices — chunking would just reshard, so it's skipped.
+        """
+
+        def wrapper(variables, f1_u8, f2_u8):
+            limit = self.max_dispatch_batch
+            b = int(f1_u8.shape[0])
+            if not limit or b <= limit or self.mesh is not None:
+                return fn(variables, f1_u8, f2_u8)
+            outs = [fn(variables, f1_u8[i:i + limit], f2_u8[i:i + limit])
+                    for i in range(0, b, limit)]
+            return jnp.concatenate(outs, axis=0)
+
+        wrapper._jitted = fn      # cost-analysis probes unwrap this
+        return wrapper
 
     def _flow_sampler_fused_ok(self, x) -> bool:
         """Route the flow sampler to the fused Pallas kernel

@@ -39,6 +39,7 @@ def speed_of_light(engine, height, width, channels, batch, factor=2):
 
     depth = int(math.log2(factor))
     fn = engine._pair_fn(factor - 1, depth)
+    fn = getattr(fn, "_jitted", fn)
     f = jnp.zeros((batch, height, width, channels), jnp.uint8)
     try:
         compiled = fn.lower(engine.variables, f, f).compile()
@@ -152,6 +153,17 @@ def main(argv=None):
                    choices=("auto", "xla", "pallas"),
                    help="flow family: sampler route (auto = fused Pallas "
                         "warp+blend kernel on TPU when eligible)")
+    p.add_argument("--flow-split", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="flow family: two-program split-jit path (auto = "
+                        "on for RGB on TPU where the monolithic graph "
+                        "overruns the remote compile helper)")
+    p.add_argument("--max-dispatch-batch", type=int, default=0,
+                   help="cap the batch per compiled dispatch; larger bench "
+                        "batches run as sequential microbatches of one "
+                        "executable (0 = off). Lets configs whose graph "
+                        "only compiles at small batches report "
+                        "production-batch rates")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the reference-architecture comparison run "
@@ -195,6 +207,10 @@ def main(argv=None):
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
     engine.sampler_impl = args.sampler_impl
+    if args.flow_split != "auto":
+        engine.flow_split_override = args.flow_split == "on"
+    if args.max_dispatch_batch:
+        engine.max_dispatch_batch = args.max_dispatch_batch
     batch, fps, mid_fps, batch_errors = find_batch_and_rate(
         engine, args.height, args.width, args.channels, args.batches,
         min_seconds=args.seconds, factor=args.factor)

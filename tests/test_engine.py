@@ -48,6 +48,38 @@ def test_batch_matches_single(engine, tiny_frames):
     np.testing.assert_allclose(batch[1].astype(int), single.astype(int), atol=1)
 
 
+def test_chunked_dispatch_matches_monolithic(engine, tiny_frames):
+    # max_dispatch_batch splits a big batch into microbatch dispatches of
+    # one compiled program (for configs whose graph only compiles at small
+    # batches, e.g. RGB flow 1080p — docs/STATUS.md). Same math; uneven
+    # tail chunk allowed.
+    f1, f2 = tiny_frames
+    b1 = np.stack([f1, f2, f1, f2, f1])
+    b2 = np.stack([f2, f1, f2, f1, f2])
+    whole = engine.interpolate_batch(b1, b2)
+    try:
+        engine.max_dispatch_batch = 2
+        chunked = engine.interpolate_batch(b1, b2)
+    finally:
+        engine.max_dispatch_batch = None
+    np.testing.assert_allclose(chunked.astype(int), whole.astype(int),
+                               atol=1)
+
+
+def test_chunked_dispatch_flow_family(tiny_frames):
+    f1, f2 = tiny_frames
+    eng = InterpolationEngine.random_init(
+        ModelConfig(arch="flow", base_width=4, max_flow=8), seed=0)
+    b1 = np.stack([f1, f2, f1, f2])
+    b2 = np.stack([f2, f1, f2, f1])
+    whole = eng._pair_fn(3, 2)(eng.variables, b1, b2)
+    eng.max_dispatch_batch = 2
+    chunked = eng._pair_fn(3, 2)(eng.variables, b1, b2)
+    assert chunked.shape == whole.shape
+    np.testing.assert_allclose(np.asarray(chunked).astype(int),
+                               np.asarray(whole).astype(int), atol=1)
+
+
 def test_generate_intermediates_are_distinct(engine, tiny_frames):
     # the reference emitted N copies of the same midpoint
     # (model/inference.py:124-149); bisection must give distinct frames
