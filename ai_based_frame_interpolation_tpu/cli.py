@@ -131,6 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "supervision weight — L1 between each frame and "
                         "its full warp from the other frame (0 = off; "
                         "try 0.05-0.2)")
+    t.add_argument("--census", type=float, default=0.0,
+                   help="illumination-robust census-transform loss weight "
+                        "(any family; soft census descriptor Hamming "
+                        "distance, ops/census.py). 0 = off; try 0.5-2")
+    t.add_argument("--census-window", type=int, default=7,
+                   help="census descriptor window (odd; default 7)")
     t.add_argument("--flow-cascade", type=int, default=0,
                    help="flow family: residual field-refinement stages "
                         "after the backbone (each = 2 midpoint warps + a "
@@ -385,7 +391,9 @@ def cmd_train(args) -> int:
                        save_every=args.save_every,
                        grad_accum=args.grad_accum,
                        loss=LossConfig(flow_smooth_weight=args.flow_smooth,
-                                       flow_photo_weight=args.flow_photo))
+                                       flow_photo_weight=args.flow_photo,
+                                       census_weight=args.census,
+                                       census_window=args.census_window))
     model = build_model(mcfg)
     c = mcfg.channels
     f = jnp.zeros((1, args.height, args.width, c), jnp.float32)

@@ -178,6 +178,12 @@ class LossConfig:
     # the two half-warps at the midpoint; this grounds the field at both
     # endpoints, where the ground truth is free. 0 = off. Train-time only.
     flow_photo_weight: float = 0.0
+    # any family: illumination-robust structure term — soft census
+    # transform distance between prediction and ground truth
+    # (ops/census.py; UnFlow eq. 5 formulation). 0 = off. Train-time only;
+    # validation loss stays the plain combined loss so arms compare.
+    census_weight: float = 0.0
+    census_window: int = 7
 
 
 @dataclass(frozen=True)

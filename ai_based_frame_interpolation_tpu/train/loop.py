@@ -121,6 +121,11 @@ def _loss_and_updates(params, batch_stats, apply_fn, batch, loss_cfg: LossConfig
                              mutable=["batch_stats", "intermediates"])
     loss = combined_loss(pred, gt, loss_cfg.mse_weight, loss_cfg.ssim_weight,
                          loss_cfg.ssim_window, loss_cfg.ssim_sigma)
+    if loss_cfg.census_weight > 0:
+        from ..ops.census import census_loss
+
+        loss = loss + loss_cfg.census_weight * census_loss(
+            pred, gt, loss_cfg.census_window)
     inter = mutated.get("intermediates", {})
     if loss_cfg.flow_smooth_weight > 0 and "flow" in inter:
         loss = loss + loss_cfg.flow_smooth_weight * flow_smoothness(
