@@ -118,7 +118,7 @@ def _sampler_kernel(t_ref, f1_hbm, f2_hbm, fx_hbm, fy_ref, mask_ref,
             c.start()
         for c in copies:
             c.wait()
-        t = t_ref[0, 0]
+        t = t_ref[bi, 0]
         s0 = -t                       # g0 warps f1 by -t * flow
         s1 = 1.0 - t                  # g1 warps f2 by (1-t) * flow
         fx = fxs[:].astype(jnp.float32)
@@ -202,7 +202,11 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
                           width=w),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (i, 0),
+            # full-array SMEM block: Mosaic requires block dims == array
+            # dims (or 8/128-divisible) — a (1,1) block of a (b,1) array
+            # only compiles at b == 1 (TPU-only failure; interpret mode
+            # does not enforce it). Kernel indexes rows by program_id.
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
