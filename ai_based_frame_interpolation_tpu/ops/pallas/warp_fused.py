@@ -60,43 +60,49 @@ def _axis_weights(pos, grid, k: int):
             + jnp.where(rel == k - 1, frac, 0.0))
 
 
-def _warp_tile_x(img_rows, fx_rows, scale, rmax: int, width: int):
-    """X pass over a (rows, W) tile: out[r, x] = img[r, x + clip(s*fx)]."""
+def _warp_tiles_x(tiles, fx_rows, scale, rmax: int, width: int):
+    """X pass over per-channel (rows, W) tiles sharing one displacement
+    field: out[r, x] = img[r, x + clip(s*fx)]. The shift weights (the bulk
+    of the VPU work) are computed ONCE per offset and applied to every
+    channel — RGB costs ~1.5x gray, not 3x."""
     ftx = jnp.clip(scale * fx_rows, -rmax, rmax)
     grid = jax.lax.broadcasted_iota(jnp.float32, ftx.shape, 1)
     pos = jnp.clip(grid + ftx, 0.0, width - 1)
     # edge-replicated lane padding (value, not scratch — Mosaic sizes it)
-    rows = img_rows.shape[0]
-    padded = jnp.concatenate(
-        [jnp.broadcast_to(img_rows[:, :1], (rows, rmax)), img_rows,
-         jnp.broadcast_to(img_rows[:, width - 1:width], (rows, rmax + 1))],
-        axis=1)
-    out = jnp.zeros_like(img_rows)
+    rows = tiles[0].shape[0]
+    padded = [jnp.concatenate(
+        [jnp.broadcast_to(img[:, :1], (rows, rmax)), img,
+         jnp.broadcast_to(img[:, width - 1:width], (rows, rmax + 1))],
+        axis=1) for img in tiles]
+    outs = [jnp.zeros_like(img) for img in tiles]
     for k in range(-rmax, rmax + 2):
         w = _axis_weights(pos, grid, k)
-        out = out + jax.lax.slice_in_dim(padded, rmax + k, rmax + k + width,
+        outs = [o + jax.lax.slice_in_dim(p, rmax + k, rmax + k + width,
                                          axis=1) * w
-    return out
+                for o, p in zip(outs, padded)]
+    return outs
 
 
-def _warp_tile_y(hx, fy_tile, scale, rmax: int, height: int, r0, th: int):
+def _warp_tiles_y(hxs, fy_tile, scale, rmax: int, height: int, r0, th: int):
     """Y pass: output rows [r0, r0+th) from X-warped rows hx (tile-local,
-    row j of the output reads hx rows [j, j + 2*rmax + 1])."""
+    row j of the output reads hx rows [j, j + 2*rmax + 1]); one weight
+    field shared across channels, as in the X pass."""
     fty = jnp.clip(scale * fy_tile, -rmax, rmax)
     grid = (jax.lax.broadcasted_iota(jnp.float32, fty.shape, 0)
             + r0.astype(jnp.float32))
     pos = jnp.clip(grid + fty, 0.0, height - 1)
-    out = jnp.zeros_like(fty)
+    outs = [jnp.zeros_like(fty) for _ in hxs]
     for k in range(-rmax, rmax + 2):
         w = _axis_weights(pos, grid, k)
-        out = out + jax.lax.slice_in_dim(hx, rmax + k, rmax + k + th,
+        outs = [o + jax.lax.slice_in_dim(hx, rmax + k, rmax + k + th,
                                          axis=0) * w
-    return out
+                for o, hx in zip(outs, hxs)]
+    return outs
 
 
 def _sampler_kernel(t_ref, f1_hbm, f2_hbm, fx_hbm, fy_ref, mask_ref,
                     g0_ref, g1_ref, out_ref, *, th: int, rmax: int,
-                    height: int, width: int):
+                    height: int, width: int, nc: int):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -106,14 +112,16 @@ def _sampler_kernel(t_ref, f1_hbm, f2_hbm, fx_hbm, fy_ref, mask_ref,
     r0 = ti * th                      # padded-array row of output row r0
 
     def body(f1s, f2s, fxs, sem):
-        copies = [
-            pltpu.make_async_copy(f1_hbm.at[bi, pl.ds(r0, rows), :], f1s,
-                                  sem.at[0]),
-            pltpu.make_async_copy(f2_hbm.at[bi, pl.ds(r0, rows), :], f2s,
-                                  sem.at[1]),
-            pltpu.make_async_copy(fx_hbm.at[bi, pl.ds(r0, rows), :], fxs,
-                                  sem.at[2]),
-        ]
+        # per-channel row DMAs from the channels-first padded images; one
+        # shared DMA for the X displacement rows
+        copies = [pltpu.make_async_copy(
+            f1_hbm.at[bi, ch, pl.ds(r0, rows), :], f1s.at[ch], sem.at[ch])
+            for ch in range(nc)]
+        copies += [pltpu.make_async_copy(
+            f2_hbm.at[bi, ch, pl.ds(r0, rows), :], f2s.at[ch],
+            sem.at[nc + ch]) for ch in range(nc)]
+        copies.append(pltpu.make_async_copy(
+            fx_hbm.at[bi, pl.ds(r0, rows), :], fxs, sem.at[2 * nc]))
         for c in copies:
             c.start()
         for c in copies:
@@ -122,36 +130,45 @@ def _sampler_kernel(t_ref, f1_hbm, f2_hbm, fx_hbm, fy_ref, mask_ref,
         s0 = -t                       # g0 warps f1 by -t * flow
         s1 = 1.0 - t                  # g1 warps f2 by (1-t) * flow
         fx = fxs[:].astype(jnp.float32)
-        hx0 = _warp_tile_x(f1s[:].astype(jnp.float32), fx, s0, rmax, width)
-        hx1 = _warp_tile_x(f2s[:].astype(jnp.float32), fx, s1, rmax, width)
         fy = fy_ref[0].astype(jnp.float32)
-        g0 = _warp_tile_y(hx0, fy, s0, rmax, height, r0, th)
-        g1 = _warp_tile_y(hx1, fy, s1, rmax, height, r0, th)
         m = mask_ref[0].astype(jnp.float32)
         w0 = (1.0 - t) * m
         w1 = t * (1.0 - m)
-        out = (w0 * g0 + w1 * g1) / (w0 + w1 + 1e-6)
-        g0_ref[0] = g0
-        g1_ref[0] = g1
-        out_ref[0] = out
+        den = w0 + w1 + 1e-6
+        # warps run sequentially (g0 fully written before hx1 exists) to
+        # bound VMEM liveness — the halo-row intermediates are the big
+        # tensors and only one warp's set is alive at a time
+        hx0 = _warp_tiles_x([f1s[ch].astype(jnp.float32)
+                             for ch in range(nc)], fx, s0, rmax, width)
+        g0 = _warp_tiles_y(hx0, fy, s0, rmax, height, r0, th)
+        for ch in range(nc):
+            g0_ref[0, ch] = g0[ch]
+        hx1 = _warp_tiles_x([f2s[ch].astype(jnp.float32)
+                             for ch in range(nc)], fx, s1, rmax, width)
+        g1 = _warp_tiles_y(hx1, fy, s1, rmax, height, r0, th)
+        for ch in range(nc):
+            g1_ref[0, ch] = g1[ch]
+            out_ref[0, ch] = (w0 * g0[ch] + w1 * g1[ch]) / den
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((rows, width), f1_hbm.dtype),
-        pltpu.VMEM((rows, width), f2_hbm.dtype),
+        pltpu.VMEM((nc, rows, width), f1_hbm.dtype),
+        pltpu.VMEM((nc, rows, width), f2_hbm.dtype),
         pltpu.VMEM((rows, width), fx_hbm.dtype),
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.SemaphoreType.DMA((2 * nc + 1,)),
     )
 
 
 _TILE_ROWS = 64
+_TILE_ROWS_RGB = 16   # halo intermediates triple with channels; keep the
+                      # working set inside ~16 MB VMEM (pallas guide)
 
 
 def eligible(cfg, channels_last_shape) -> bool:
     """Kernel eligibility: single-field flow (no bidir), shifts warp,
-    grayscale frames, rows enough for one tile."""
+    gray or RGB frames, rows enough for one tile."""
     h, w, c = channels_last_shape[-3:]
-    return (not cfg.flow_bidir and cfg.warp_impl == "shifts" and c == 1
+    return (not cfg.flow_bidir and cfg.warp_impl == "shifts" and c in (1, 3)
             and h >= 8 and w >= 2 * cfg.max_flow + 2 and w <= 8192)
 
 
@@ -159,21 +176,28 @@ def eligible(cfg, channels_last_shape) -> bool:
                    static_argnames=("max_flow", "tile_rows", "interpret"))
 def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
                  mask: jax.Array, t: jax.Array, max_flow: int = 32,
-                 tile_rows: int = _TILE_ROWS,
+                 tile_rows: int = 0,
                  interpret: bool = False):
     """Fused single-field flow sampler (shifts semantics, f32 math).
 
-    Parameters: ``f1, f2`` [B,H,W,1] (any float dtype), ``flow`` [B,H,W,2]
-    (x then y displacement, pixels), ``mask`` [B,H,W,1] blend weight in
-    [0,1], ``t`` [B] sample times. Returns ``(out, g0, g1)`` — each
-    [B,H,W,1] f32: the blended frame and the two warped candidates (the
-    refinement head consumes all three).
+    Parameters: ``f1, f2`` [B,H,W,C] (C = 1 or 3, any float dtype),
+    ``flow`` [B,H,W,2] (x then y displacement, pixels), ``mask`` [B,H,W,1]
+    blend weight in [0,1], ``t`` [B] sample times. Returns
+    ``(out, g0, g1)`` — each [B,H,W,C] f32: the blended frame and the two
+    warped candidates (the refinement head consumes all three).
+
+    Multi-channel layout: images are transposed to channels-first for the
+    kernel so each channel's rows are a contiguous DMA; the warp weight
+    fields are computed once per shift offset and shared across channels.
+    ``tile_rows=0`` picks the default (64 gray / 16 RGB — VMEM budget).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, w, _ = f1.shape
+    b, h, w, c = f1.shape
     rmax = int(max_flow)
+    if tile_rows <= 0:
+        tile_rows = _TILE_ROWS if c == 1 else _TILE_ROWS_RGB
     th = min(tile_rows, _round_up(h, 8))
     nt = pl.cdiv(h, th)
     rows = _round_up(th + 2 * rmax + 1, 8)
@@ -184,8 +208,14 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
     def rowpad(x):
         return jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="edge")
 
-    f1p = rowpad(f1[..., 0])
-    f2p = rowpad(f2[..., 0])
+    # channels-first so the per-channel halo DMA is a contiguous row block
+    def chanpad(x):
+        return jnp.pad(jnp.moveaxis(x, 3, 1),
+                       ((0, 0), (0, 0), (pad_lo, pad_hi), (0, 0)),
+                       mode="edge")
+
+    f1p = chanpad(f1)
+    f2p = chanpad(f2)
     fxp = rowpad(flow[..., 0].astype(jnp.float32))
     fy = flow[..., 1].astype(jnp.float32)
     m2 = mask[..., 0].astype(jnp.float32)
@@ -197,9 +227,13 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
         return pl.BlockSpec((1, th, w), lambda i, j: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
+    def out_spec():
+        return pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0),
+                            memory_space=pltpu.VMEM)
+
     g0, g1, out = pl.pallas_call(
         functools.partial(_sampler_kernel, th=th, rmax=rmax, height=h,
-                          width=w),
+                          width=w, nc=c),
         grid=grid,
         in_specs=[
             # full-array SMEM block: Mosaic requires block dims == array
@@ -214,9 +248,10 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
             tile_spec(),
             tile_spec(),
         ],
-        out_specs=[tile_spec(), tile_spec(), tile_spec()],
-        out_shape=[jax.ShapeDtypeStruct((b, nt * th, w), jnp.float32)
+        out_specs=[out_spec(), out_spec(), out_spec()],
+        out_shape=[jax.ShapeDtypeStruct((b, c, nt * th, w), jnp.float32)
                    for _ in range(3)],
         interpret=interpret,
     )(t2, f1p, f2p, fxp, fy, m2)
-    return (out[:, :h, :, None], g0[:, :h, :, None], g1[:, :h, :, None])
+    crop = lambda x: jnp.moveaxis(x[:, :, :h, :], 1, 3)
+    return (crop(out), crop(g0), crop(g1))

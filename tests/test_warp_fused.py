@@ -21,15 +21,16 @@ from ai_based_frame_interpolation_tpu.ops.warp import backward_warp
 
 
 @pytest.mark.parametrize("shape,rmax,ts", [
-    ((2, 72, 160, 8), 8, [0.5, 0.25]),
-    ((1, 129, 257, 8), 8, [0.33]),      # non-multiple H and W
-    ((1, 16, 128, 4), 4, [0.5]),
+    ((2, 72, 160, 1), 8, [0.5, 0.25]),
+    ((1, 129, 257, 1), 8, [0.33]),      # non-multiple H and W
+    ((1, 16, 128, 1), 4, [0.5]),
+    ((2, 72, 160, 3), 8, [0.5, 0.3]),   # RGB: per-channel DMA path
 ])
 def test_sample_fused_matches_xla_shifts(shape, rmax, ts):
-    b, h, w, _ = shape
+    b, h, w, c = shape
     rng = np.random.default_rng(42)
-    f1 = jnp.asarray(rng.standard_normal((b, h, w, 1)), jnp.float32)
-    f2 = jnp.asarray(rng.standard_normal((b, h, w, 1)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
     flow = jnp.asarray(rng.uniform(-1.5 * rmax, 1.5 * rmax, (b, h, w, 2)),
                        jnp.float32)
     mask = jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)), jnp.float32)
@@ -64,12 +65,34 @@ def test_engine_fused_sampler_matches_xla(tiny_frames):
         np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
 
 
+def test_engine_fused_sampler_rgb_matches_xla():
+    """RGB engine route through the kernel (per-channel DMA, shared warp
+    weights) == the XLA route."""
+    y, x = np.mgrid[0:48, 0:128].astype(np.float32)
+    f1 = np.stack([(127 + a * np.sin(x / p) * np.cos(y / q))
+                   for a, p, q in ((80, 7, 5), (60, 5, 9), (90, 11, 4))],
+                  axis=-1).astype(np.uint8)
+    f2 = np.roll(np.roll(f1, 4, axis=1), 2, axis=0)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        eng = InterpolationEngine.random_init(
+            ModelConfig(arch="flow", channels=3, base_width=4,
+                        refine_width=8, max_flow=8), seed=11,
+            compute_dtype=jnp.float32)
+        eng.sampler_impl = impl
+        eng.flow_split_override = False   # CPU: keep one program
+        outs[impl] = eng.generate_intermediate_frames(f1, f2, 3)
+    for a, b in zip(outs["xla"], outs["pallas"]):
+        np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
 def test_eligibility_guards():
     shape = (1, 64, 128, 1)
     assert eligible(ModelConfig(arch="flow"), shape)
     assert not eligible(ModelConfig(arch="flow", flow_bidir=True), shape)
     assert not eligible(ModelConfig(arch="flow", warp_impl="gather4"), shape)
-    assert not eligible(ModelConfig(arch="flow"), (1, 64, 128, 3))
+    assert eligible(ModelConfig(arch="flow"), (1, 64, 128, 3))
+    assert not eligible(ModelConfig(arch="flow"), (1, 64, 128, 2))
     # too narrow for the displacement bound
     assert not eligible(ModelConfig(arch="flow", max_flow=64),
                         (1, 64, 100, 1))
