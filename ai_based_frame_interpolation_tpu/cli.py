@@ -257,6 +257,11 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--channels", type=int, default=1, choices=(1, 3))
     ds.add_argument("--sprites", type=int, default=4)
     ds.add_argument("--seed", type=int, default=0)
+    ds.add_argument("--motion", default="linear", choices=("linear", "hard"),
+                    help="'linear' = constant velocities (the standard "
+                         "harness tier); 'hard' adds camera rotation/zoom, "
+                         "sprite acceleration and orbits — curved "
+                         "trajectories + occlusions")
 
     c = sub.add_parser("convert", help="convert checkpoints between the "
                                        "reference .pth format and orbax")
@@ -630,16 +635,18 @@ def cmd_demo(args) -> int:
 
 def cmd_dataset(args) -> int:
     """Generate a procedural training dataset: textured panning backgrounds
-    with multiple anti-aliased moving sprites (linear motion, so the triplet
-    midpoint contract holds). A training-scale substitute for real footage
-    — much more diverse than the reference's single moving-circle demo clip
+    with multiple anti-aliased moving sprites (every frame rendered at its
+    own time, so the triplet midpoint contract holds for any motion tier).
+    A training-scale substitute for real footage — much more diverse than
+    the reference's single moving-circle demo clip
     (``demo_simple.py:17-40``)."""
     from .data.synthetic import write_scene_tree
 
     dirs = write_scene_tree(args.output_dir, num_videos=args.videos,
                             num_frames=args.frames, height=args.size,
                             width=args.size, channels=args.channels,
-                            num_sprites=args.sprites, seed=args.seed)
+                            num_sprites=args.sprites, seed=args.seed,
+                            motion=args.motion)
     n_triplets = args.videos * max(0, args.frames - 2)
     print(f"wrote {len(dirs)} clips x {args.frames} frames "
           f"({n_triplets} triplets) to {args.output_dir}")

@@ -61,7 +61,8 @@ def write_fixture_tree(root: str, num_videos: int = 1, num_frames: int = 5,
 def moving_scene_frames(num_frames: int = 16, height: int = 256,
                         width: int = 256, channels: int = 1,
                         num_sprites: int = 4, max_speed: float = 6.0,
-                        noise: float = 4.0, seed: int = 0) -> np.ndarray:
+                        noise: float = 4.0, seed: int = 0,
+                        motion: str = "linear") -> np.ndarray:
     """[T, H, W, C] uint8 frames of a procedurally rich scene.
 
     The moving-circle fixture (reference ``demo_simple.py:17-40``) has one
@@ -77,18 +78,36 @@ def moving_scene_frames(num_frames: int = 16, height: int = 256,
     - a gentle global brightness ramp (photometric variation),
     - additive sensor noise.
 
-    All motion is linear in time, so the ground-truth midpoint of frames
-    (t, t+2) is genuinely frame t+1 — the dataset contract of the triplet
-    loader (reference ``model/train.py:96-118``).
+    Every frame is RENDERED at its own time t, so the ground-truth middle of
+    frames (t, t+2) is genuinely frame t+1 regardless of the motion model —
+    the dataset contract of the triplet loader (reference
+    ``model/train.py:96-118``) holds for curved trajectories too.
+
+    ``motion="linear"`` (default): constant velocities — the tier every
+    recorded quality number uses. ``motion="hard"``: camera rotation + zoom
+    composed with the pan, sprite acceleration, and orbiting sprites —
+    curved trajectories and natural occlusions that a linear blend (and a
+    single symmetric field) cannot model; the tier that differentiates
+    ``--flow-bidir`` / ``--flow-cascade``.
     """
     import cv2
 
+    if motion not in ("linear", "hard"):
+        raise ValueError(f"motion must be 'linear' or 'hard', got {motion!r}")
     rng = np.random.default_rng(seed)
     c = 3 if channels == 3 else 1
 
     # --- background: low-frequency noise canvas, panned by a global velocity
     pan_v = rng.uniform(-max_speed / 2, max_speed / 2, size=2)
+    # hard tier: slow camera rotation + zoom on top of the pan
+    rot_v = rng.uniform(-1.5, 1.5) if motion == "hard" else 0.0   # deg/frame
+    zoom_v = rng.uniform(-4e-3, 4e-3) if motion == "hard" else 0.0
     pad = int(np.ceil(max_speed / 2 * (num_frames + 1))) + 4
+    if motion == "hard":
+        # rotation/zoom sweep corners beyond the pan envelope
+        diag = 0.5 * float(np.hypot(height, width))
+        ang = abs(rot_v) * (num_frames - 1) * np.pi / 180.0
+        pad += int(np.ceil(diag * (ang + abs(zoom_v) * (num_frames - 1)))) + 4
     ch_, cw_ = height + 2 * pad, width + 2 * pad
     grid = rng.uniform(30, 170, size=(ch_ // 32 + 2, cw_ // 32 + 2, c))
     canvas = cv2.resize(grid.astype(np.float32), (cw_, ch_),
@@ -99,22 +118,42 @@ def moving_scene_frames(num_frames: int = 16, height: int = 256,
     # --- sprites: kind, start position, velocity, size, size velocity, color
     sprites = []
     for _ in range(num_sprites):
-        sprites.append({
+        s = {
             "kind": rng.choice(["disc", "blob", "rect"]),
             "p0": rng.uniform([0, 0], [height, width]),
             "v": rng.uniform(-max_speed, max_speed, size=2),
             "r0": rng.uniform(5.0, max(6.0, min(height, width) / 5)),
             "rv": rng.uniform(-0.5, 0.5),
             "color": rng.uniform(60, 255, size=c),
-        })
+            "a": np.zeros(2), "orbit_r": 0.0, "orbit_w": 0.0,
+            "orbit_phi": 0.0,
+        }
+        if motion == "hard":
+            # curved trajectories: acceleration for all, an orbital
+            # component for roughly half the sprites
+            s["a"] = rng.uniform(-max_speed / 8, max_speed / 8, size=2)
+            if rng.uniform() < 0.5:
+                s["orbit_r"] = rng.uniform(4.0, min(height, width) / 6)
+                s["orbit_w"] = rng.uniform(-0.5, 0.5)       # rad/frame
+                s["orbit_phi"] = rng.uniform(0, 2 * np.pi)
+        sprites.append(s)
     ramp = rng.uniform(-0.3, 0.3)  # total brightness change over the clip
 
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
     frames = []
     for t in range(num_frames):
-        # panned background crop (sub-pixel via affine warp)
+        # panned (and, hard tier, rotated/zoomed) background crop
         oy, ox = pad + pan_v[0] * t, pad + pan_v[1] * t
-        m = np.float32([[1, 0, -ox], [0, 1, -oy]])
+        if motion == "hard":
+            # rotate/zoom about the visible-crop center, then pan
+            mr = cv2.getRotationMatrix2D(
+                (float(ox + width / 2), float(oy + height / 2)),
+                rot_v * t, 1.0 + zoom_v * t)
+            mr[0, 2] -= ox
+            mr[1, 2] -= oy
+            m = np.float32(mr)
+        else:
+            m = np.float32([[1, 0, -ox], [0, 1, -oy]])
         img = cv2.warpAffine(canvas, m, (width, height),
                              flags=cv2.INTER_LINEAR)
         if c == 1 and img.ndim == 2:
@@ -122,7 +161,11 @@ def moving_scene_frames(num_frames: int = 16, height: int = 256,
         img = img.copy()
 
         for s in sprites:
-            cy, cx = s["p0"] + s["v"] * t
+            cy, cx = (s["p0"] + s["v"] * t + 0.5 * s["a"] * t * t)
+            if s["orbit_r"]:
+                phi = s["orbit_phi"] + s["orbit_w"] * t
+                cy, cx = (cy + s["orbit_r"] * np.sin(phi),
+                          cx + s["orbit_r"] * np.cos(phi))
             r = max(3.0, s["r0"] + s["rv"] * t)
             d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
             if s["kind"] == "disc":
@@ -143,7 +186,8 @@ def moving_scene_frames(num_frames: int = 16, height: int = 256,
 def write_scene_tree(root: str, num_videos: int = 8, num_frames: int = 16,
                      height: int = 256, width: int = 256,
                      channels: int = 1, seed: int = 0,
-                     num_sprites: int = 4) -> List[str]:
+                     num_sprites: int = 4,
+                     motion: str = "linear") -> List[str]:
     """Write a training-scale tree of :func:`moving_scene_frames` clips in
     the reference's directory layout (``<root>/<video>/frame_XXX.png``)."""
     import cv2
@@ -154,7 +198,7 @@ def write_scene_tree(root: str, num_videos: int = 8, num_frames: int = 16,
         os.makedirs(vdir, exist_ok=True)
         frames = moving_scene_frames(num_frames, height, width,
                                      channels=channels, seed=seed + 1000 * v,
-                                     num_sprites=num_sprites)
+                                     num_sprites=num_sprites, motion=motion)
         for i, f in enumerate(frames):
             img = f[..., 0] if f.shape[-1] == 1 else f[..., ::-1]
             cv2.imwrite(os.path.join(vdir, f"frame_{i:03d}.png"), img)

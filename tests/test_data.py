@@ -53,6 +53,28 @@ def test_moving_scene_properties():
     assert mid_err.mean() < end_err.mean()
 
 
+def test_moving_scene_hard_tier():
+    from ai_based_frame_interpolation_tpu.data.synthetic import \
+        moving_scene_frames
+
+    a = moving_scene_frames(6, 64, 64, seed=21, motion="hard")
+    b = moving_scene_frames(6, 64, 64, seed=21, motion="hard")
+    np.testing.assert_array_equal(a, b)          # deterministic
+    assert a.shape == (6, 64, 64, 1) and a.dtype == np.uint8
+    assert (a[0] != a[5]).mean() > 0.2           # scene moves
+    # the hard tier really changes the motion model vs linear (same seed)
+    lin = moving_scene_frames(6, 64, 64, seed=21, motion="linear")
+    assert (a != lin).mean() > 0.2
+    # frame t+1 stays a far better midpoint estimate than the endpoints are
+    # of each other (the rendered-ground-truth contract, curved motion too)
+    mid_err = np.abs(a[1].astype(np.float32) -
+                     0.5 * (a[0].astype(np.float32) + a[2].astype(np.float32)))
+    end_err = np.abs(a[0].astype(np.float32) - a[2].astype(np.float32))
+    assert mid_err.mean() < end_err.mean()
+    with pytest.raises(ValueError):
+        moving_scene_frames(3, 32, 32, motion="nope")
+
+
 def test_write_scene_tree_feeds_the_triplet_scanner(tmp_path):
     from ai_based_frame_interpolation_tpu.data.synthetic import \
         write_scene_tree
