@@ -6,6 +6,8 @@
 # Usage:  scripts/scenes_ab.sh "name:--arch flow --base-width 32 ..." ...
 # Env:    WORK   work dir (default /tmp/scenes_ab; dataset is reused)
 #         EPOCHS training budget (default 50)
+#         MOTION dataset motion tier (default linear; "hard" = rotation/
+#                zoom/acceleration/orbits — use a separate WORK dir)
 #
 # Each arm trains into $WORK/ck_<name>, evaluates on the held-out clips
 # into $WORK/eval_<name>/, and the script ends with a summary table.
@@ -16,6 +18,7 @@ set -u
 set -f   # $flags is word-split on purpose below; never glob-expanded
 WORK=${WORK:-/tmp/scenes_ab}
 EPOCHS=${EPOCHS:-50}
+MOTION=${MOTION:-linear}
 cd /root/repo
 mkdir -p "$WORK"
 
@@ -23,11 +26,13 @@ mkdir -p "$WORK"
 # created train/ but not test/
 if [ ! -d "$WORK/train" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
-    --output-dir "$WORK/train" --videos 24 --size 128 --seed 0
+    --output-dir "$WORK/train" --videos 24 --size 128 --seed 0 \
+    --motion "$MOTION"
 fi
 if [ ! -d "$WORK/test" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
-    --output-dir "$WORK/test" --videos 6 --size 128 --seed 100
+    --output-dir "$WORK/test" --videos 6 --size 128 --seed 100 \
+    --motion "$MOTION"
 fi
 
 for spec in "$@"; do
