@@ -174,13 +174,13 @@ class InterpolationEngine:
                                  skip_refine=True)
             p = variables["params"]
             if getattr(self.cfg, "refine_depthwise", False):
-                out = refine_head_fused(y.astype(jnp.float32), x1, x2,
+                out = refine_head_fused(y.astype(jnp.float32), (x1, x2),
                                         p["refine1"], None, p["refine_out"],
                                         refine2_dw=p["refine2_dw"],
                                         refine2_pw=p["refine2_pw"],
                                         compute_dtype=self.compute_dtype)
             else:
-                out = refine_head_fused(y.astype(jnp.float32), x1, x2,
+                out = refine_head_fused(y.astype(jnp.float32), (x1, x2),
                                         p["refine1"], p["refine2"],
                                         p["refine_out"],
                                         compute_dtype=self.compute_dtype)
@@ -233,11 +233,32 @@ class InterpolationEngine:
             return True
         return jax.devices()[0].platform == "tpu"
 
+    def _flow_refine_fused_ok(self, x) -> bool:
+        """Route the flow family's refinement head to the fused Pallas
+        kernel (``ops/pallas/refine_fused`` — the flow head is the same
+        conv3x3/conv3x3/conv1x1 structure as the unet head, 5 input planes
+        instead of 3). Shares the ``refine_impl`` attribute contract:
+        "auto" = kernel on TPU, "xla" = Flax path, "pallas" = force
+        (interpret mode off-TPU, for tests)."""
+        if self.refine_impl == "xla" or self.mesh is not None:
+            return False
+        if getattr(self.cfg, "refine_depthwise", False):
+            return False          # flow head has no depthwise variant
+        from ..ops.pallas.refine_fused import eligible
+
+        if not eligible(x.shape, self.cfg):
+            return False
+        if self.refine_impl == "pallas":
+            return True
+        return jax.devices()[0].platform == "tpu"
+
     def _flow_sample(self, variables, x1, x2, flow, mask, t):
         """One time-t sample from a precomputed field — fused kernel
-        (warps + blend) + the model's refine head, or the monolithic Flax
-        ``sample`` method. Same math; the kernel interpolates in f32 where
-        the bf16 Flax path interpolates in bf16."""
+        (warps + blend) + the refine head (fused Pallas when eligible —
+        under XLA the lane-padded head convs cost more than the warps), or
+        the monolithic Flax ``sample`` method. Same math; the kernel
+        interpolates in f32 where the bf16 Flax path interpolates in
+        bf16."""
         if self._flow_sampler_fused_ok(x1):
             from ..ops.pallas.warp_fused import sample_fused
 
@@ -245,6 +266,14 @@ class InterpolationEngine:
                 x1, x2, flow, mask, t,
                 max_flow=self.cfg.max_flow,
                 interpret=jax.devices()[0].platform != "tpu")
+            if self.cfg.refine_width > 0 and self._flow_refine_fused_ok(x1):
+                from ..ops.pallas.refine_fused import refine_head_fused
+
+                p = variables["params"]
+                return refine_head_fused(
+                    out, (g0, g1, x1, x2), p["refine1"], p["refine2"],
+                    p["refine_out"], compute_dtype=self.compute_dtype,
+                    interpret=jax.devices()[0].platform != "tpu")
             return self.model.apply(variables, out, g0, g1, x1, x2,
                                     method="refine")
         return self.model.apply(variables, x1, x2, flow, mask, t,

@@ -90,10 +90,15 @@ def eligible(shape, cfg=None) -> bool:
     h, w = shape[-3], shape[-2]
     ok = h >= 8 and h % 8 == 0 and w >= 16
     if cfg is not None:
+        arch = getattr(cfg, "arch", "unet")
         ok = ok and (cfg.refine_width > 0 and cfg.refine_factor == 1
-                     and cfg.space_to_depth > 1
-                     and cfg.channels == shape[-1]
-                     and getattr(cfg, "arch", "unet") == "unet")
+                     and cfg.channels == shape[-1])
+        if arch == "unet":
+            ok = ok and cfg.space_to_depth > 1
+        elif arch == "flow":
+            pass          # flow refine is always full-res, any flow_scale
+        else:
+            ok = False
     return ok
 
 
@@ -226,19 +231,24 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
-def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
+def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
                       refine1: dict, refine2: Optional[dict],
                       refine_out: dict,
                       refine2_dw: Optional[dict] = None,
                       refine2_pw: Optional[dict] = None,
                       compute_dtype=jnp.bfloat16,
                       interpret: bool = False) -> jax.Array:
-    """Apply the refinement head, fused. Same math as the Flax branch at
-    ``models/unet.py:234-266`` with ``refine_factor=1``, grayscale.
+    """Apply the refinement head, fused. Same math as the Flax branches at
+    ``models/unet.py:234-266`` (``refine_factor=1``) and
+    ``models/flow.py:refine`` — both are conv3x3(w)/relu/conv3x3(w)/relu/
+    conv1x1(C) over a channel-concat of full-res planes, residual to the
+    prediction; only the input plane count differs (unet 3, flow 5).
 
-    y_full : [B, H, W, C] f32  pre-refine full-res prediction
-        (``skip_refine``), C in {1, 3}
-    f1n/f2n: [B, H, W, C]      normalized input frames (compute dtype)
+    y_full : [B, H, W, C] f32  pre-refine full-res prediction (residual
+        base and first concat plane), C in {1, 3}
+    planes : tuple of [B, H, W, C] arrays concatenated after the
+        prediction, in the Flax concat order (unet: (f1, f2); flow:
+        (g0, g1, f1, f2))
     refine1/refine2/refine_out: the Flax param subtrees ({kernel, bias});
         pass ``refine2=None`` with ``refine2_dw``/``refine2_pw`` for the
         depthwise-separable head (``ModelConfig(refine_depthwise=True)``)
@@ -249,17 +259,19 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
 
     cdt = compute_dtype
     bsz, h, wd, ch = y_full.shape
-    nplanes = 3 * ch                            # [pred | f1 | f2] per channel
+    nplanes = (1 + len(planes)) * ch        # [pred | *planes] per channel
     th = _tile_h(h)
     depthwise = depthwise_mode = refine2_dw is not None
 
-    w1 = refine1["kernel"]                      # (3, 3, 3*ch, w)
+    w1 = refine1["kernel"]                      # (3, 3, nplanes, w)
+    assert int(w1.shape[2]) == nplanes, (w1.shape, nplanes)
     w = int(w1.shape[-1])
 
-    # conv1 weights as one (w, 9*nplanes) lhs (27 gray / 81 RGB — one K-pass
-    # either way); RHS rows ordered ky-major, plane-minor, kx-minor to match
-    # the kernel's concat order. Flax conv kernels are (kh, kw, cin, cout) =
-    # (ky, kx, plane, w).
+    # conv1 weights as one (w, 9*nplanes) lhs (27 unet gray / 45 flow gray /
+    # 81 unet RGB; 135 flow RGB splits into two K<=128 passes on the MXU by
+    # XLA's dot lowering — still one logical pass here); RHS rows ordered
+    # ky-major, plane-minor, kx-minor to match the kernel's concat order.
+    # Flax conv kernels are (kh, kw, cin, cout) = (ky, kx, plane, w).
     w1t = (w1.transpose(0, 2, 1, 3).reshape(9 * nplanes, w)
            .T.astype(cdt))                      # (w, 9*nplanes)
     b1 = refine1["bias"].reshape(w, 1).astype(cdt)
@@ -321,12 +333,13 @@ def refine_head_fused(y_full: jax.Array, f1n: jax.Array, f2n: jax.Array,
     wp = -(-(wd + 4) // 128) * 128
     yg = jnp.pad(y_full.transpose(0, 3, 1, 2).astype(jnp.float32),
                  ((0, 0), (0, 0), (0, 0), (0, wp - wd)))       # (B, C, H, WP)
-    # plane-major stack (prediction, frame1, frame2 — per channel) with the
-    # 2-px halo pre-padded; full rows DMA cleanly (no minor-dim slicing)
-    z = jnp.concatenate([y_full.transpose(0, 3, 1, 2).astype(cdt),
-                         f1n.transpose(0, 3, 1, 2).astype(cdt),
-                         f2n.transpose(0, 3, 1, 2).astype(cdt)],
-                        axis=1)                                # (B, 3C, H, W)
+    # plane-major stack (prediction, then the extra planes — per channel)
+    # with the 2-px halo pre-padded; full rows DMA cleanly (no minor-dim
+    # slicing)
+    z = jnp.concatenate([y_full.transpose(0, 3, 1, 2).astype(cdt)]
+                        + [p.transpose(0, 3, 1, 2).astype(cdt)
+                           for p in planes],
+                        axis=1)                          # (B, nplanes, H, W)
     zp = jnp.pad(z, ((0, 0), (0, 0), (2, 6), (2, wp - wd - 2)))
 
     # 4K rows (wp ~ 3968) push the working set past the 16 MB default

@@ -39,18 +39,15 @@ def _compare(rng, cfg, h, w, batch=2, channels=1):
                                             skip_refine=True))(
         variables, f1, f2)
     p = variables["params"]
+    planes = (f1.astype(jnp.bfloat16), f2.astype(jnp.bfloat16))
     if getattr(cfg, "refine_depthwise", False):
-        fused = refine_head_fused(y.astype(jnp.float32),
-                                  f1.astype(jnp.bfloat16),
-                                  f2.astype(jnp.bfloat16),
+        fused = refine_head_fused(y.astype(jnp.float32), planes,
                                   p["refine1"], None, p["refine_out"],
                                   refine2_dw=p["refine2_dw"],
                                   refine2_pw=p["refine2_pw"],
                                   interpret=True)
     else:
-        fused = refine_head_fused(y.astype(jnp.float32),
-                                  f1.astype(jnp.bfloat16),
-                                  f2.astype(jnp.bfloat16),
+        fused = refine_head_fused(y.astype(jnp.float32), planes,
                                   p["refine1"], p["refine2"], p["refine_out"],
                                   interpret=True)
     a = np.asarray(fused, np.float32)
@@ -190,3 +187,42 @@ def test_engine_routes_and_matches_xla(rng):
     # cross-program bf16 reassociation budget: atol 1 for 99.9% of pixels
     assert float((d <= 1).mean()) > 0.999, float((d <= 1).mean())
     assert int(d.max()) <= 3, int(d.max())
+
+
+def test_interpret_flow_head_five_planes(rng):
+    """The flow family's refine head (5 input planes: out/g0/g1/f1/f2,
+    models/flow.py:refine) through the generalized kernel vs the Flax
+    method."""
+    with jax.default_device(CPU):
+        cfg = ModelConfig(arch="flow", base_width=4, refine_width=8,
+                          max_flow=8)
+        model = build_model(cfg, jnp.bfloat16)
+        b, h, w = 2, 48, 96
+        f1 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        f2 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        variables = jax.jit(lambda a, c: model.init(
+            jax.random.key(0), a, c, train=False))(f1, f2)
+        g0 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        g1 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        out = 0.5 * (g0 + g1)
+        ref = jax.jit(lambda v: model.apply(v, out, g0, g1, f1, f2,
+                                            method="refine"))(variables)
+        p = variables["params"]
+        fused = refine_head_fused(out, (g0, g1, f1, f2), p["refine1"],
+                                  p["refine2"], p["refine_out"],
+                                  interpret=True)
+        a = np.asarray(fused, np.float32)
+        # the Flax flow refine returns f32; the engine casts to the compute
+        # dtype right after — compare at that precision (the kernel's
+        # output dtype)
+        r = np.asarray(ref.astype(jnp.bfloat16), np.float32)
+        np.testing.assert_allclose(a, r, atol=1.2e-2)
+        assert float((a == r).mean()) > 0.99
+
+
+def test_flow_eligibility():
+    assert eligible((1, 64, 128, 1), ModelConfig(arch="flow",
+                                                 refine_width=16))
+    assert not eligible((1, 64, 128, 1), ModelConfig(arch="flow"))
+    assert not eligible((1, 64, 128, 1), ModelConfig(arch="tower",
+                                                     refine_width=16))

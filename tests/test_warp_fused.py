@@ -86,6 +86,22 @@ def test_engine_fused_sampler_rgb_matches_xla():
         np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
 
 
+def test_engine_full_fused_route_matches_xla(tiny_frames):
+    """Sampler kernel + fused refine head together (the production TPU flow
+    route) vs the all-XLA route."""
+    f1, f2 = tiny_frames
+    outs = {}
+    for impl in ("xla", "pallas"):
+        eng = InterpolationEngine.random_init(
+            ModelConfig(arch="flow", base_width=4, refine_width=8,
+                        max_flow=8), seed=11, compute_dtype=jnp.float32)
+        eng.sampler_impl = impl
+        eng.refine_impl = impl if impl == "pallas" else "xla"
+        outs[impl] = eng.generate_intermediate_frames(f1, f2, 3)
+    for a, b in zip(outs["xla"], outs["pallas"]):
+        np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
 def test_eligibility_guards():
     shape = (1, 64, 128, 1)
     assert eligible(ModelConfig(arch="flow"), shape)
