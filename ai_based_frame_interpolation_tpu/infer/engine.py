@@ -276,6 +276,18 @@ class InterpolationEngine:
                     interpret=jax.devices()[0].platform != "tpu")
             return self.model.apply(variables, out, g0, g1, x1, x2,
                                     method="refine")
+        if self.cfg.refine_width > 0 and self._flow_refine_fused_ok(x1):
+            # warp route the sampler kernel doesn't cover (bidir/pyramid/
+            # gather4) — still fuse the head, which is the costlier half
+            from ..ops.pallas.refine_fused import refine_head_fused
+
+            out, g0, g1 = self.model.apply(variables, x1, x2, flow, mask,
+                                           t, method="sample_parts")
+            p = variables["params"]
+            return refine_head_fused(
+                out, (g0, g1, x1, x2), p["refine1"], p["refine2"],
+                p["refine_out"], compute_dtype=self.compute_dtype,
+                interpret=jax.devices()[0].platform != "tpu")
         return self.model.apply(variables, x1, x2, flow, mask, t,
                                 train=False, method="sample")
 

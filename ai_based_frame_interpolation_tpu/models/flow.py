@@ -195,11 +195,12 @@ class FlowInterpolator(nn.Module):
         nf = 4 if self.cfg.flow_bidir else 2
         return flow + d[..., :nf], mask_logit + d[..., nf:nf + 1]
 
-    def sample(self, frame1: jax.Array, frame2: jax.Array, flow: jax.Array,
-               mask: jax.Array, t: jax.Array,
-               train: bool = False) -> jax.Array:
-        """Synthesize the frame at time ``t`` ([B] in [0, 1]) from a
-        precomputed motion field: two warps + blend (+ refinement head)."""
+    def sample_parts(self, frame1, frame2, flow, mask, t):
+        """The warp + blend core of ``sample`` without the refinement head:
+        returns ``(out, g0, g1)`` so the engine can pair ANY warp route
+        (bidir, pyramid, gather4 — the cases the fused sampler kernel
+        doesn't cover) with the fused Pallas refine head
+        (``ops/pallas/refine_fused``)."""
         cdt = self.compute_dtype
         tb = t.astype(jnp.float32)[:, None, None, None]
         f1 = frame1.astype(cdt)
@@ -222,7 +223,17 @@ class FlowInterpolator(nn.Module):
         w1 = (tb * (1.0 - mask)).astype(jnp.float32)
         out = ((w0 * g0.astype(jnp.float32) + w1 * g1.astype(jnp.float32))
                / (w0 + w1 + 1e-6))
-        return self.refine(out, g0, g1, f1, f2)
+        return out, g0, g1
+
+    def sample(self, frame1: jax.Array, frame2: jax.Array, flow: jax.Array,
+               mask: jax.Array, t: jax.Array,
+               train: bool = False) -> jax.Array:
+        """Synthesize the frame at time ``t`` ([B] in [0, 1]) from a
+        precomputed motion field: two warps + blend (+ refinement head)."""
+        out, g0, g1 = self.sample_parts(frame1, frame2, flow, mask, t)
+        cdt = self.compute_dtype
+        return self.refine(out, g0, g1, frame1.astype(cdt),
+                           frame2.astype(cdt))
 
     def refine(self, out: jax.Array, g0: jax.Array, g1: jax.Array,
                frame1: jax.Array, frame2: jax.Array) -> jax.Array:

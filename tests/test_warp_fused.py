@@ -102,6 +102,22 @@ def test_engine_full_fused_route_matches_xla(tiny_frames):
         np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
 
 
+def test_engine_bidir_fused_refine_matches_xla(tiny_frames):
+    """Bidir flow (sampler kernel ineligible) with the fused refine head:
+    sample_parts + kernel == the monolithic Flax sample."""
+    f1, f2 = tiny_frames
+    outs = {}
+    for impl in ("xla", "pallas"):
+        eng = InterpolationEngine.random_init(
+            ModelConfig(arch="flow", base_width=4, refine_width=8,
+                        max_flow=8, flow_bidir=True), seed=11,
+            compute_dtype=jnp.float32)
+        eng.refine_impl = impl
+        outs[impl] = eng.generate_intermediate_frames(f1, f2, 3)
+    for a, b in zip(outs["xla"], outs["pallas"]):
+        np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+
+
 def test_eligibility_guards():
     shape = (1, 64, 128, 1)
     assert eligible(ModelConfig(arch="flow"), shape)
