@@ -31,6 +31,8 @@ def census_transform(x: jax.Array, window: int = 7,
     difference (UnFlow's formulation; eps=0.81 ~ (0.9 intensity levels)^2
     at the [-1,1]*127.5 scale keeps tiny noise differences near 0).
     """
+    if window % 2 == 0 or window < 3:
+        raise ValueError(f"census window must be odd >= 3, got {window}")
     x = x.astype(jnp.float32)
     if x.shape[-1] > 1:
         x = jnp.mean(x, axis=-1, keepdims=True)

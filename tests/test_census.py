@@ -74,3 +74,8 @@ def test_train_step_with_census_weight():
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(state2.params)
     assert all(np.all(np.isfinite(np.asarray(p))) for p in leaves)
+
+
+def test_even_window_rejected(img):
+    with pytest.raises(ValueError):
+        census_transform(img, window=4)
