@@ -231,6 +231,13 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
         return pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0),
                             memory_space=pltpu.VMEM)
 
+    # 4K rows push the scoped working set past Mosaic's 16 MB default
+    # VMEM budget (physical VMEM is larger) — raise the cap for wide
+    # frames, as the refine kernel does
+    kwargs = {}
+    if w > 2048:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     g0, g1, out = pl.pallas_call(
         functools.partial(_sampler_kernel, th=th, rmax=rmax, height=h,
                           width=w, nc=c),
@@ -252,6 +259,7 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
         out_shape=[jax.ShapeDtypeStruct((b, c, nt * th, w), jnp.float32)
                    for _ in range(3)],
         interpret=interpret,
+        **kwargs,
     )(t2, f1p, f2p, fxp, fy, m2)
     crop = lambda x: jnp.moveaxis(x[:, :, :h, :], 1, 3)
     return (crop(out), crop(g0), crop(g1))
