@@ -64,37 +64,75 @@ def measure(fn, args, iters=12):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+@functools.partial(jax.jit, static_argnames=("groups",))
+def unet_ish(x, w1, w2, w3, groups=1):
+    """Mini U-Net shape: conv -> 2x2-pool -> conv -> resize-up ->
+    skip-concat -> conv. Exercises the packed layout's real obstacles:
+    the spatial ops are group-agnostic but the skip concat must interleave
+    channel blocks per group (a lane shuffle XLA has to schedule)."""
+    g = groups
+    s = jax.nn.relu(conv(x, w1, g))                     # (b,H,W,gm)
+    d = jax.lax.reduce_window(s, -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+                              (1, 2, 2, 1), "VALID")
+    d = jax.nn.relu(conv(d, w2, g))
+    u = jax.image.resize(d, (d.shape[0], d.shape[1] * 2, d.shape[2] * 2,
+                             d.shape[3]), "nearest")
+    if g == 1:
+        z = jnp.concatenate([u, s], axis=-1)
+    else:
+        b2, hh, ww, _ = u.shape
+        cm = u.shape[-1] // g
+        z = jnp.concatenate(
+            [u.reshape(b2, hh, ww, g, cm), s.reshape(b2, hh, ww, g, cm)],
+            axis=-1).reshape(b2, hh, ww, 2 * cm * g)
+    return conv(z, w3, g)
+
+
+def run_arm(rng, name, batches, g, weights, fn):
+    per_item = {}
+    for b in batches:
+        if name.startswith("packed"):
+            x = jnp.asarray(rng.standard_normal((b // g, H, W, C_IN * g)),
+                            jnp.bfloat16)
+            args = (x,) + tuple(tile_w(w, g) for w in weights)
+            ms = measure(lambda *a: fn(*a, groups=g), args)
+        else:
+            x = jnp.asarray(rng.standard_normal((b, H, W, C_IN)),
+                            jnp.bfloat16)
+            ms = measure(fn, (x,) + tuple(weights))
+        per_item[b] = ms
+        print(f"{name:14s} b={b:3d}: {ms:7.2f} ms/iter "
+              f"({ms / b:6.3f} ms/item)")
+    bs = sorted(per_item)
+    marg = (per_item[bs[1]] - per_item[bs[0]]) / (bs[1] - bs[0])
+    print(f"{name:14s} marginal: {marg:.3f} ms/item")
+    return marg
+
+
 def main():
     rng = np.random.default_rng(0)
     k = lambda ci, co: jnp.asarray(
         rng.standard_normal((3, 3, ci, co)) * 0.05, jnp.bfloat16)
-    w1, w2, w3 = k(C_IN, C_MID), k(C_MID, C_MID), k(C_MID, C_IN)
     g = 128 // C_IN                       # 8: pack to a full lane dim
     print(f"device: {jax.devices()[0].platform}, pack factor g={g}")
 
-    results = {}
-    for name, batches in (("unpacked", (8, 16)), ("packed", (8, 16))):
-        per_item = {}
-        for b in batches:
-            if name == "unpacked":
-                x = jnp.asarray(rng.standard_normal((b, H, W, C_IN)),
-                                jnp.bfloat16)
-                ms = measure(lambda a: chain(a, w1, w2, w3), (x,))
-            else:
-                x = jnp.asarray(rng.standard_normal((b // g, H, W,
-                                                     C_IN * g)), jnp.bfloat16)
-                tw1, tw2, tw3 = tile_w(w1, g), tile_w(w2, g), tile_w(w3, g)
-                ms = measure(
-                    lambda a: chain(a, tw1, tw2, tw3, groups=g), (x,))
-            per_item[b] = ms
-            print(f"{name:9s} b={b:3d}: {ms:7.2f} ms/iter "
-                  f"({ms / b:6.3f} ms/item)")
-        bs = sorted(per_item)
-        marg = (per_item[bs[1]] - per_item[bs[0]]) / (bs[1] - bs[0])
-        results[name] = marg
-        print(f"{name:9s} marginal: {marg:.3f} ms/item")
-    speedup = results["unpacked"] / results["packed"]
-    print(f"packed speedup (marginal): {speedup:.2f}x")
+    w1, w2, w3 = k(C_IN, C_MID), k(C_MID, C_MID), k(C_MID, C_IN)
+    m = {}
+    m["unpacked"] = run_arm(rng, "unpacked", (8, 16), g, (w1, w2, w3),
+                            chain)
+    m["packed"] = run_arm(rng, "packed", (8, 16), g, (w1, w2, w3), chain)
+    print(f"conv-chain packed speedup: "
+          f"{m['unpacked'] / m['packed']:.2f}x")
+
+    # experiment 2: U-Net-shaped chain with pool/resize/skip-concat
+    wu1, wu2 = k(C_IN, C_MID), k(C_MID, C_MID)
+    wu3 = k(2 * C_MID, C_IN)              # skip concat doubles channels
+    m["unpacked-unet"] = run_arm(rng, "unpacked-unet", (8, 16), g,
+                                 (wu1, wu2, wu3), unet_ish)
+    m["packed-unet"] = run_arm(rng, "packed-unet", (8, 16), g,
+                               (wu1, wu2, wu3), unet_ish)
+    print(f"unet-shape packed speedup: "
+          f"{m['unpacked-unet'] / m['packed-unet']:.2f}x")
 
 
 if __name__ == "__main__":
