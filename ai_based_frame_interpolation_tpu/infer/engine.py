@@ -160,8 +160,9 @@ class InterpolationEngine:
         perf notes), so the engine routes to the kernel whenever it can."""
         if self.refine_impl not in ("auto", "pallas") or self.mesh is not None:
             return False
-        if jax.devices()[0].platform != "tpu":
-            return False
+        if self.refine_impl != "pallas" \
+                and jax.devices()[0].platform != "tpu":
+            return False          # "pallas" forces (interpret mode off-TPU)
         from ..ops.pallas.refine_fused import eligible
 
         return eligible(x.shape, self.cfg)
@@ -173,17 +174,20 @@ class InterpolationEngine:
             y = self.model.apply(variables, x1, x2, train=False,
                                  skip_refine=True)
             p = variables["params"]
+            interp = jax.devices()[0].platform != "tpu"
             if getattr(self.cfg, "refine_depthwise", False):
                 out = refine_head_fused(y.astype(jnp.float32), (x1, x2),
                                         p["refine1"], None, p["refine_out"],
                                         refine2_dw=p["refine2_dw"],
                                         refine2_pw=p["refine2_pw"],
-                                        compute_dtype=self.compute_dtype)
+                                        compute_dtype=self.compute_dtype,
+                                        interpret=interp)
             else:
                 out = refine_head_fused(y.astype(jnp.float32), (x1, x2),
                                         p["refine1"], p["refine2"],
                                         p["refine_out"],
-                                        compute_dtype=self.compute_dtype)
+                                        compute_dtype=self.compute_dtype,
+                                        interpret=interp)
         else:
             out = self.model.apply(variables, x1, x2, train=False)
         return out.astype(self.compute_dtype)

@@ -226,3 +226,24 @@ def test_flow_eligibility():
     assert not eligible((1, 64, 128, 1), ModelConfig(arch="flow"))
     assert not eligible((1, 64, 128, 1), ModelConfig(arch="tower",
                                                      refine_width=16))
+
+
+def test_engine_forced_pallas_unet_on_cpu(rng):
+    """refine_impl="pallas" forces the fused head (interpret mode) off-TPU
+    — engine-level parity with the XLA route on any host."""
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+
+    cfg = ModelConfig(space_to_depth=2, refine_width=8, base_width=4,
+                      residual=True)
+    forced = InterpolationEngine.random_init(cfg)
+    forced.refine_impl = "pallas"
+    xla = InterpolationEngine(forced.model, forced.variables, fold=False,
+                              refine_impl="xla")
+    f1 = rng.integers(0, 255, (96, 160, 1), np.uint8)
+    f2 = rng.integers(0, 255, (96, 160, 1), np.uint8)
+    a = forced.interpolate_pair(f1, f2).astype(np.int16)
+    b = xla.interpolate_pair(f1, f2).astype(np.int16)
+    d = np.abs(a - b)
+    assert float((d <= 1).mean()) > 0.999, float((d <= 1).mean())
+    assert int(d.max()) <= 3, int(d.max())
