@@ -675,8 +675,26 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI entry point. Remote TPU
+    compiles of 1080p/full-res graphs take minutes each and A/B sweeps
+    re-run the same configs; the cache (env-overridable via
+    ``FI_TPU_COMPILE_CACHE``; set it empty to disable) makes repeat
+    invocations skip them entirely — the same policy bench.py and the test
+    conftest already use."""
+    cache = os.environ.get("FI_TPU_COMPILE_CACHE",
+                           "/tmp/fi_tpu_compile_cache")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compile_cache()
     try:
         return {"train": cmd_train, "infer": cmd_infer, "video": cmd_video,
                 "eval": cmd_eval, "serve": cmd_serve, "demo": cmd_demo,
