@@ -66,7 +66,9 @@ def _warp_tiles_x(tiles, fx_rows, scale, rmax: int, width: int):
     of the VPU work) are computed ONCE per offset and applied to every
     channel — RGB costs ~1.5x gray, not 3x."""
     ftx = jnp.clip(scale * fx_rows, -rmax, rmax)
-    grid = jax.lax.broadcasted_iota(jnp.float32, ftx.shape, 1)
+    # Mosaic's tpu.iota is integer-only — build int32 and cast
+    grid = jax.lax.broadcasted_iota(jnp.int32, ftx.shape, 1
+                                    ).astype(jnp.float32)
     pos = jnp.clip(grid + ftx, 0.0, width - 1)
     # edge-replicated lane padding (value, not scratch — Mosaic sizes it)
     rows = tiles[0].shape[0]
@@ -88,7 +90,8 @@ def _warp_tiles_y(hxs, fy_tile, scale, rmax: int, height: int, r0, th: int):
     row j of the output reads hx rows [j, j + 2*rmax + 1]); one weight
     field shared across channels, as in the X pass."""
     fty = jnp.clip(scale * fy_tile, -rmax, rmax)
-    grid = (jax.lax.broadcasted_iota(jnp.float32, fty.shape, 0)
+    grid = (jax.lax.broadcasted_iota(jnp.int32, fty.shape, 0
+                                     ).astype(jnp.float32)
             + r0.astype(jnp.float32))
     pos = jnp.clip(grid + fty, 0.0, height - 1)
     outs = [jnp.zeros_like(fty) for _ in hxs]
