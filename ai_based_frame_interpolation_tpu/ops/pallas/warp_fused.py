@@ -70,17 +70,20 @@ def _warp_tiles_x(tiles, fx_rows, scale, rmax: int, width: int):
     grid = jax.lax.broadcasted_iota(jnp.int32, ftx.shape, 1
                                     ).astype(jnp.float32)
     pos = jnp.clip(grid + ftx, 0.0, width - 1)
-    # edge-replicated lane padding (value, not scratch — Mosaic sizes it)
+    # edge-replicated lane padding (value, not scratch — Mosaic sizes it).
+    # The padded copies stay in the IMAGE dtype (bf16 in production):
+    # padding/slicing is pure data movement, the upcast happens at the
+    # multiply — halves the biggest scoped-VMEM temporaries for free.
     rows = tiles[0].shape[0]
     padded = [jnp.concatenate(
         [jnp.broadcast_to(img[:, :1], (rows, rmax)), img,
          jnp.broadcast_to(img[:, width - 1:width], (rows, rmax + 1))],
         axis=1) for img in tiles]
-    outs = [jnp.zeros_like(img) for img in tiles]
+    outs = [jnp.zeros((rows, width), jnp.float32) for _ in tiles]
     for k in range(-rmax, rmax + 2):
         w = _axis_weights(pos, grid, k)
         outs = [o + jax.lax.slice_in_dim(p, rmax + k, rmax + k + width,
-                                         axis=1) * w
+                                         axis=1).astype(jnp.float32) * w
                 for o, p in zip(outs, padded)]
     return outs
 
@@ -141,13 +144,13 @@ def _sampler_kernel(t_ref, f1_hbm, f2_hbm, fx_hbm, fy_ref, mask_ref,
         # warps run sequentially (g0 fully written before hx1 exists) to
         # bound VMEM liveness — the halo-row intermediates are the big
         # tensors and only one warp's set is alive at a time
-        hx0 = _warp_tiles_x([f1s[ch].astype(jnp.float32)
-                             for ch in range(nc)], fx, s0, rmax, width)
+        hx0 = _warp_tiles_x([f1s[ch] for ch in range(nc)], fx, s0, rmax,
+                            width)
         g0 = _warp_tiles_y(hx0, fy, s0, rmax, height, r0, th)
         for ch in range(nc):
             g0_ref[0, ch] = g0[ch]
-        hx1 = _warp_tiles_x([f2s[ch].astype(jnp.float32)
-                             for ch in range(nc)], fx, s1, rmax, width)
+        hx1 = _warp_tiles_x([f2s[ch] for ch in range(nc)], fx, s1, rmax,
+                            width)
         g1 = _warp_tiles_y(hx1, fy, s1, rmax, height, r0, th)
         for ch in range(nc):
             g1_ref[0, ch] = g1[ch]
@@ -234,13 +237,13 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
         return pl.BlockSpec((1, c, th, w), lambda i, j: (i, 0, j, 0),
                             memory_space=pltpu.VMEM)
 
-    # 4K rows push the scoped working set past Mosaic's 16 MB default
-    # VMEM budget (physical VMEM is larger) — raise the cap for wide
-    # frames, as the refine kernel does
-    kwargs = {}
-    if w > 2048:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+    # The unrolled 2*(2*rmax+2)-term shift accumulation keeps many
+    # (rows, W) f32 temporaries live — Mosaic's measured scoped stack at
+    # gray 1080p/th64/mf32 is ~73 MB, far past its 16 MB default limit
+    # (physical VMEM is larger; the refine kernel runs 4K at a raised cap
+    # too). Raise unconditionally.
+    kwargs = {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
     g0, g1, out = pl.pallas_call(
         functools.partial(_sampler_kernel, th=th, rmax=rmax, height=h,
                           width=w, nc=c),
