@@ -59,11 +59,18 @@ class InterpolationEngine:
 
     def __init__(self, model: FrameInterpolationUNet, variables,
                  compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None,
-                 refine_impl: str = "auto"):
+                 refine_impl: str = "auto", core_pack: int = 1):
         # refine_impl: "auto" = fused Pallas refinement head when eligible
         # (TPU, grayscale, refine_factor=1, single device); "xla" = always
         # the Flax/XLA branch. Same math either way (test_refine_fused.py).
         self.refine_impl = refine_impl
+        # core_pack g > 1: run the unet-family core with g batch items
+        # folded into channels (grouped convs, tiled folded weights — see
+        # models.unet.pack_batch). Identical per-item math; removes XLA's
+        # 128-lane HBM padding on thin-channel activations, the measured
+        # HBM floor of the s2d core. Batches not divisible by g fall back
+        # to the unpacked program.
+        self.core_pack = core_pack
         # Cap on the batch any ONE compiled dispatch sees. None = off.
         # When set, `_pair_fn` transparently splits larger batches into
         # sequential microbatch dispatches of the SAME compiled program and
@@ -109,8 +116,8 @@ class InterpolationEngine:
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: Optional[ModelConfig] = None,
-                        compute_dtype=jnp.bfloat16,
-                        fold: bool = True) -> "InterpolationEngine":
+                        compute_dtype=jnp.bfloat16, fold: bool = True,
+                        core_pack: int = 1) -> "InterpolationEngine":
         """Load an Orbax variables dir, a training checkpoint dir, or a
         reference-format ``.pth`` (auto-detected)."""
         import os
@@ -135,12 +142,13 @@ class InterpolationEngine:
         from ..models import build_model
 
         model = build_model(cfg or ModelConfig(), compute_dtype)
-        return cls(model, variables, compute_dtype, fold=fold)
+        return cls(model, variables, compute_dtype, fold=fold,
+                   core_pack=core_pack)
 
     @classmethod
     def random_init(cls, cfg: Optional[ModelConfig] = None, seed: int = 0,
-                    compute_dtype=jnp.bfloat16,
-                    fold: bool = True) -> "InterpolationEngine":
+                    compute_dtype=jnp.bfloat16, fold: bool = True,
+                    core_pack: int = 1) -> "InterpolationEngine":
         """Engine with random weights (plumbing tests / demos)."""
         from ..models import build_model
 
@@ -150,7 +158,8 @@ class InterpolationEngine:
         f = jnp.zeros((1, 64, 64, c), jnp.float32)
         variables = jax.jit(lambda a, b: model.init(
             jax.random.key(seed), a, b, train=False))(f, f)
-        return cls(model, variables, compute_dtype, fold=fold)
+        return cls(model, variables, compute_dtype, fold=fold,
+                   core_pack=core_pack)
 
     # -- compiled kernels ---------------------------------------------------
 
@@ -167,12 +176,45 @@ class InterpolationEngine:
 
         return eligible(x.shape, self.cfg)
 
+    def _use_pack(self, batch: int) -> bool:
+        """Static routing for the batch-packed core: unet family, folded
+        weights, bilinear decoder, single device, batch divisible by g."""
+        g = int(getattr(self, "core_pack", 1) or 1)
+        if g <= 1 or self.mesh is not None:
+            return False
+        if getattr(self.cfg, "arch", "unet") != "unet" or not self.cfg.bilinear:
+            return False
+        if isinstance(self.variables, dict) and self.variables.get("batch_stats"):
+            return False          # pack requires folded BatchNorm
+        limit = self.max_dispatch_batch
+        if limit and limit % g:
+            return False          # chunk tails must stay divisible
+        return batch % g == 0
+
+    def _packed_core(self):
+        """Lazy (packed model, tiled variables) for ``core_pack``; the tiled
+        weights live on device alongside the originals (g x footprint)."""
+        g = int(self.core_pack)
+        key = ("packed_core", g)
+        if key not in self._fn_cache:
+            from ..models import build_model
+            from ..models.unet import tile_params_packed
+
+            model = build_model(self.cfg, self.compute_dtype, folded=True,
+                                pack=g)
+            self._fn_cache[key] = (model,
+                                   tile_params_packed(self.variables, g))
+        return self._fn_cache[key]
+
     def _forward(self, variables, x1, x2):
+        model = self.model
+        if self._use_pack(int(x1.shape[0])):
+            model = self._packed_core()[0]
         if self._fused_refine_ok(x1):
             from ..ops.pallas.refine_fused import refine_head_fused
 
-            y = self.model.apply(variables, x1, x2, train=False,
-                                 skip_refine=True)
+            y = model.apply(variables, x1, x2, train=False,
+                            skip_refine=True)
             p = variables["params"]
             interp = jax.devices()[0].platform != "tpu"
             if getattr(self.cfg, "refine_depthwise", False):
@@ -189,7 +231,7 @@ class InterpolationEngine:
                                         compute_dtype=self.compute_dtype,
                                         interpret=interp)
         else:
-            out = self.model.apply(variables, x1, x2, train=False)
+            out = model.apply(variables, x1, x2, train=False)
         return out.astype(self.compute_dtype)
 
     def _pair_fn(self, n_out: int, depth: int):
@@ -211,6 +253,10 @@ class InterpolationEngine:
         def wrapper(variables, f1_u8, f2_u8):
             limit = self.max_dispatch_batch
             b = int(f1_u8.shape[0])
+            if self._use_pack(b):
+                # the packed program takes the TILED weight tree (the inner
+                # _forward picks the packed model from the same predicate)
+                variables = self._packed_core()[1]
             if not limit or b <= limit or self.mesh is not None:
                 return fn(variables, f1_u8, f2_u8)
             outs = [fn(variables, f1_u8[i:i + limit], f2_u8[i:i + limit])

@@ -52,6 +52,46 @@ def depth_to_space(x: jax.Array, r: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * r, w * r, c // (r * r))
 
 
+def pack_batch(x: jax.Array, g: int) -> jax.Array:
+    """[B,H,W,C] -> [B/g,H,W,g*C]: fold g batch items into the channel axis.
+
+    The inference-only "core pack" layout: XLA stores NHWC activations
+    lane-padded to 128 channels in HBM, so a thin-channel U-Net reads/writes
+    up to 8x the useful bytes (CLAUDE.md finding 11 — the measured HBM floor
+    of the s2d core). Packing g items into channels fills the lane dimension
+    exactly; every conv then runs with ``feature_group_count=g`` and the SAME
+    per-item weights tiled per group (:func:`tile_params_packed`) — identical
+    math, measured 3.1x marginal speedup on the U-Net-shaped probe
+    (scripts/grouped_core_probe.py).
+    """
+    if g == 1:
+        return x
+    b, h, w, c = x.shape
+    x = x.reshape(b // g, g, h, w, c)
+    return x.transpose(0, 2, 3, 1, 4).reshape(b // g, h, w, g * c)
+
+
+def unpack_batch(x: jax.Array, g: int) -> jax.Array:
+    """Inverse of :func:`pack_batch`."""
+    if g == 1:
+        return x
+    b, h, w, gc = x.shape
+    x = x.reshape(b, h, w, g, gc // g)
+    return x.transpose(0, 3, 1, 2, 4).reshape(b * g, h, w, gc // g)
+
+
+def grouped_concat(parts, g: int) -> jax.Array:
+    """Channel-concat per pack group: each part is [B,H,W,g*c_i]; the result
+    interleaves the groups' blocks so group i holds [p0_i, p1_i, ...] — what
+    a ``feature_group_count=g`` conv expects. With g=1 this is a plain
+    concat."""
+    if g == 1:
+        return jnp.concatenate(parts, axis=-1)
+    b, h, w, _ = parts[0].shape
+    split = [p.reshape(b, h, w, g, p.shape[-1] // g) for p in parts]
+    return jnp.concatenate(split, axis=-1).reshape(b, h, w, -1)
+
+
 class DoubleConv(nn.Module):
     """(3x3 conv, no bias -> BatchNorm -> ReLU) x 2.
 
@@ -66,13 +106,19 @@ class DoubleConv(nn.Module):
     mid_ch: Optional[int] = None
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.pack > 1 and not self.folded:
+            raise ValueError("pack > 1 requires folded BatchNorm "
+                             "(inference-only layout)")
         mid = self.mid_ch if self.mid_ch is not None else self.out_ch
         for i, ch in enumerate((mid, self.out_ch)):
-            x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=self.folded,
-                        dtype=self.compute_dtype, name=f"conv{i + 1}")(x)
+            x = nn.Conv(ch * self.pack, (3, 3), padding="SAME",
+                        use_bias=self.folded, dtype=self.compute_dtype,
+                        feature_group_count=self.pack,
+                        name=f"conv{i + 1}")(x)
             if not self.folded:
                 # BN statistics in f32 for stability; torch defaults eps=1e-5,
                 # momentum 0.1 (flax: momentum = 1 - torch_momentum).
@@ -89,12 +135,14 @@ class Down(nn.Module):
     out_ch: int
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return DoubleConv(self.out_ch, compute_dtype=self.compute_dtype,
-                          folded=self.folded, name="conv")(x, train)
+                          folded=self.folded, pack=self.pack,
+                          name="conv")(x, train)
 
 
 class Up(nn.Module):
@@ -111,10 +159,13 @@ class Up(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
     upsample: str = "align_corners"
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x1: jax.Array, x2: jax.Array, train: bool = False) -> jax.Array:
-        in_ch = x1.shape[-1] + x2.shape[-1]  # channels after concat
+        # per-item channels after concat (pack-invariant: packed tensors
+        # carry pack * per-item channels)
+        in_ch = (x1.shape[-1] + x2.shape[-1]) // self.pack
         if self.bilinear:
             if self.upsample == "half_pixel":
                 x1 = upsample2x_half_pixel(x1)
@@ -122,6 +173,8 @@ class Up(nn.Module):
                 x1 = upsample2x_align_corners(x1)
             mid = in_ch // 2
         else:
+            if self.pack > 1:
+                raise ValueError("pack > 1 supports the bilinear decoder only")
             x1 = nn.ConvTranspose(x1.shape[-1] // 2, (2, 2), strides=(2, 2),
                                   dtype=self.compute_dtype, name="up")(x1)
             in_ch = x1.shape[-1] + x2.shape[-1]
@@ -134,9 +187,10 @@ class Up(nn.Module):
             pad = [(0, 0)] * (x1.ndim - 3) + [
                 (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)]
             x1 = jnp.pad(x1, pad)
-        x = jnp.concatenate([x2, x1.astype(x2.dtype)], axis=-1)
+        x = grouped_concat([x2, x1.astype(x2.dtype)], self.pack)
         return DoubleConv(self.out_ch, mid_ch=mid, folded=self.folded,
-                          compute_dtype=self.compute_dtype, name="conv")(x, train)
+                          compute_dtype=self.compute_dtype, pack=self.pack,
+                          name="conv")(x, train)
 
 
 class UNet(nn.Module):
@@ -154,22 +208,24 @@ class UNet(nn.Module):
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
     upsample: str = "align_corners"
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         w = self.base_width
         factor = 2 if self.bilinear else 1
         cdt = self.compute_dtype
+        g = self.pack
         x = x.astype(cdt)
 
         skips = [DoubleConv(w, compute_dtype=cdt, folded=self.folded,
-                            name="inc")(x, train)]
+                            pack=g, name="inc")(x, train)]
         for i in range(1, self.depth + 1):
             ch = w * (2 ** i)
             if i == self.depth:
                 ch //= factor
             skips.append(Down(ch, compute_dtype=cdt, folded=self.folded,
-                              name=f"down{i}")(skips[-1], train))
+                              pack=g, name=f"down{i}")(skips[-1], train))
 
         y = skips[-1]
         for i in range(1, self.depth + 1):
@@ -178,11 +234,12 @@ class UNet(nn.Module):
                 ch //= factor
             # up1 pairs the bottleneck with skip[depth-1], etc.
             y = Up(ch, bilinear=self.bilinear, compute_dtype=cdt,
-                   folded=self.folded, upsample=self.upsample,
+                   folded=self.folded, upsample=self.upsample, pack=g,
                    name=f"up{i}")(y, skips[self.depth - i], train)
 
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=True,
-                    dtype=jnp.float32, name="outc")(y.astype(jnp.float32))
+        y = nn.Conv(self.out_channels * g, (1, 1), use_bias=True,
+                    dtype=jnp.float32, feature_group_count=g,
+                    name="outc")(y.astype(jnp.float32))
         return y
 
 
@@ -199,6 +256,7 @@ class FrameInterpolationUNet(nn.Module):
     cfg: ModelConfig = ModelConfig()
     compute_dtype: Dtype = jnp.bfloat16
     folded: bool = False
+    pack: int = 1
 
     @nn.compact
     def __call__(self, frame1: jax.Array, frame2: jax.Array,
@@ -208,16 +266,26 @@ class FrameInterpolationUNet(nn.Module):
         # (incl. the residual), so a caller can apply the refinement head
         # itself — the fused Pallas path (ops/pallas/refine_fused.py) does.
         r = self.cfg.space_to_depth
+        P = self.pack
         if r > 1:
             frame1 = space_to_depth(frame1, r)
             frame2 = space_to_depth(frame2, r)
-        x = jnp.concatenate([frame1, frame2], axis=-1)
+        if P > 1:
+            # batch-to-channel packed core (inference only, folded weights):
+            # same math via grouped convs, lane-padding-free HBM layout.
+            # The refinement head below runs unpacked (it has its own fused
+            # kernel and per-item channel structure).
+            frame1_u, frame2_u = frame1, frame2
+            frame1 = pack_batch(frame1, P)
+            frame2 = pack_batch(frame2, P)
+        x = grouped_concat([frame1, frame2], P)
         if self.cfg.time_conditioned:
             if t is None:
-                t = jnp.full((x.shape[0],), 0.5, x.dtype)
-            tmap = jnp.broadcast_to(t[:, None, None, None],
-                                    (*x.shape[:-1], 1)).astype(x.dtype)
-            x = jnp.concatenate([x, tmap], axis=-1)
+                t = jnp.full((x.shape[0] * P,), 0.5, x.dtype)
+            tmap = t.reshape(x.shape[0], P).astype(x.dtype)
+            tmap = jnp.broadcast_to(tmap[:, None, None, :],
+                                    (*x.shape[:-1], P))
+            x = grouped_concat([x, tmap], P)
         y = UNet(in_channels=self.cfg.in_channels,
                  out_channels=self.cfg.out_channels,
                  base_width=self.cfg.base_width,
@@ -226,11 +294,15 @@ class FrameInterpolationUNet(nn.Module):
                  compute_dtype=self.compute_dtype,
                  folded=self.folded,
                  upsample=getattr(self.cfg, "upsample", "align_corners"),
+                 pack=P,
                  name="unet")(x, train)
         if self.cfg.residual:
             # frame1/frame2 are already space-to-depth'd here; the linear
             # midpoint commutes with the block rearrange
             y = y + 0.5 * (frame1 + frame2).astype(y.dtype)
+        if P > 1:
+            y = unpack_batch(y, P)
+            frame1, frame2 = frame1_u, frame2_u
         if self.cfg.refine_width > 0 and r > 1 and not skip_refine:
             # refinement head: the s2d U-Net's output head emits r*r
             # sub-pixels from one coarse feature vector, which blurs fine
@@ -291,6 +363,43 @@ def count_parameters(variables) -> int:
     """Trainable parameter count (reference ``model/unet.py:114-116``)."""
     params = variables["params"] if "params" in variables else variables
     return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def tile_params_packed(variables, g: int) -> dict:
+    """Tile folded U-Net conv weights for the batch-packed core (``pack=g``).
+
+    A ``feature_group_count=g`` conv whose every group should apply the SAME
+    per-item weights takes the unpacked kernel tiled g times along the
+    output-channel axis (group i reads kernel block i), and the bias tiled g
+    times. Only the ``unet`` subtree is tiled — the refinement head runs
+    unpacked (see :class:`FrameInterpolationUNet`). Tiling runs on device
+    once at engine setup; the tiled weights are ~g x the HBM footprint of
+    the originals (69 MB -> ~0.5 GB at g=8 for the default width), which the
+    activation-byte savings repay within a batch at production resolutions.
+    """
+
+    def tile_tree(node):
+        out = {}
+        for key, val in node.items():
+            if isinstance(val, dict) and "kernel" in val:
+                kern = val["kernel"]
+                new = {"kernel": jnp.tile(kern,
+                                          (1,) * (kern.ndim - 1) + (g,))}
+                if "bias" in val:
+                    new["bias"] = jnp.tile(val["bias"], g)
+                out[key] = new
+            elif isinstance(val, dict):
+                out[key] = tile_tree(val)
+            else:
+                out[key] = val
+        return out
+
+    if "batch_stats" in variables and variables["batch_stats"]:
+        raise ValueError("tile_params_packed expects folded variables "
+                         "(run fold_batchnorm first)")
+    params = dict(variables["params"])
+    params["unet"] = tile_tree(params["unet"])
+    return {"params": params}
 
 
 def fold_batchnorm(variables) -> dict:

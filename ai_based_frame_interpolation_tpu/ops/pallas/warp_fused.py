@@ -204,6 +204,12 @@ def sample_fused(f1: jax.Array, f2: jax.Array, flow: jax.Array,
     rmax = int(max_flow)
     if tile_rows <= 0:
         tile_rows = _TILE_ROWS if c == 1 else _TILE_ROWS_RGB
+        if w > 2048:
+            # the unrolled shift accumulation's temporaries are
+            # (th + 2*max_flow + 1, W) f32: at 4K width the 1080p tile
+            # overruns physical VMEM (measured 141 MB vs the chip's
+            # 128 MB); shrink the tile so the halo rows dominate less
+            tile_rows = 16 if c == 1 else 8
     th = min(tile_rows, _round_up(h, 8))
     nt = pl.cdiv(h, th)
     rows = _round_up(th + 2 * rmax + 1, 8)

@@ -41,8 +41,11 @@ def speed_of_light(engine, height, width, channels, batch, factor=2):
     fn = engine._pair_fn(factor - 1, depth)
     fn = getattr(fn, "_jitted", fn)
     f = jnp.zeros((batch, height, width, channels), jnp.uint8)
+    variables = engine.variables
+    if getattr(engine, "_use_pack", lambda b: False)(batch):
+        variables = engine._packed_core()[1]   # the tiled weight tree
     try:
-        compiled = fn.lower(engine.variables, f, f).compile()
+        compiled = fn.lower(variables, f, f).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):      # per-device list on some backends
             ca = ca[0]
@@ -164,6 +167,11 @@ def main(argv=None):
                         "executable (0 = off). Lets configs whose graph "
                         "only compiles at small batches report "
                         "production-batch rates")
+    p.add_argument("--core-pack", type=int, default=1,
+                   help="unet family: fold g batch items into channels and "
+                        "run grouped convs (kills XLA's 128-lane HBM "
+                        "padding on thin-channel activations; identical "
+                        "math). Batches must be divisible by g")
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--skip-parity", action="store_true",
                    help="skip the reference-architecture comparison run "
@@ -207,6 +215,8 @@ def main(argv=None):
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
     engine.sampler_impl = args.sampler_impl
+    if args.core_pack > 1:
+        engine.core_pack = args.core_pack
     if args.flow_split != "auto":
         engine.flow_split_override = args.flow_split == "on"
     if args.max_dispatch_batch:
