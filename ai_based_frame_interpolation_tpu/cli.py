@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--max-flow", type=int, default=None,
                         help="shifts/pyramid warp: per-axis displacement "
                              "bound in pixels (default 32)")
+        sp.add_argument("--core-pack", type=int, default=1,
+                        help="unet family, inference only: fold g batch "
+                             "items into channels and run grouped convs — "
+                             "removes XLA's 128-lane HBM padding on thin "
+                             "activations; identical math. Batches not "
+                             "divisible by g fall back transparently")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -297,14 +303,17 @@ def _load_engine(args, allow_random: bool = False):
                           warp_impl=getattr(args, "warp_impl", None)
                           or "shifts",
                           max_flow=getattr(args, "max_flow", None) or 32)
+    core_pack = getattr(args, "core_pack", 1) or 1
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
         return InterpolationEngine.from_checkpoint(args.model, cfg,
-                                                   compute_dtype=dtype)
+                                                   compute_dtype=dtype,
+                                                   core_pack=core_pack)
     if allow_random:
         print(f"warning: no checkpoint at '{args.model}', using random "
               "weights (plumbing/demo mode)")
         return InterpolationEngine.random_init(cfg or ModelConfig(),
-                                               compute_dtype=dtype)
+                                               compute_dtype=dtype,
+                                               core_pack=core_pack)
     raise SystemExit(f"error: checkpoint not found: {args.model}")
 
 

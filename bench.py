@@ -300,6 +300,7 @@ def main(argv=None):
                    "flow_scale": engine.cfg.flow_scale,
                    "refine_width": engine.cfg.refine_width,
                    "base_width": engine.cfg.base_width,
+                   "core_pack": args.core_pack,
                    "computed_midpoints_per_sec": round(mid_fps, 2),
                    "batch_errors": batch_errors or None,
                    "parity_architecture_fps": round(parity_fps, 2)
