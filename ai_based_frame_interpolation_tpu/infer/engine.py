@@ -281,6 +281,13 @@ class InterpolationEngine:
             return False
         if impl == "pallas":
             return True
+        if x.shape[-1] == 3 and x.shape[-2] > 1280:
+            # RGB at wide frames: the fused sampler program deterministically
+            # 500s the tunnel compile helper at 1080p (b8 AND b16, measured
+            # 2026-08-20, scripts/rgb_flow_probe.py) where the split-jit XLA
+            # route compiles — keep auto on the working route; "pallas"
+            # still forces the kernel for when the helper limit lifts.
+            return False
         return jax.devices()[0].platform == "tpu"
 
     def _flow_refine_fused_ok(self, x) -> bool:
