@@ -281,12 +281,14 @@ class InterpolationEngine:
             return False
         if impl == "pallas":
             return True
-        if x.shape[-1] == 3 and x.shape[-2] > 1280:
-            # RGB at wide frames: the fused sampler program deterministically
-            # 500s the tunnel compile helper at 1080p (b8 AND b16, measured
-            # 2026-08-20, scripts/rgb_flow_probe.py) where the split-jit XLA
-            # route compiles — keep auto on the working route; "pallas"
-            # still forces the kernel for when the helper limit lifts.
+        if x.shape[-1] == 3 and x.shape[-3] * x.shape[-2] > 1280 * 720:
+            # RGB above 720p-many pixels: the fused sampler program
+            # deterministically 500s the tunnel compile helper at 1080p (b8
+            # AND b16, measured 2026-08-20, scripts/rgb_flow_probe.py) where
+            # the split-jit XLA route compiles — keep auto on the working
+            # route; "pallas" still forces the kernel for when the helper
+            # limit lifts. Gate on pixel count, not width, so portrait
+            # (1080x1920) frames don't slip through (ADVICE r2).
             return False
         return jax.devices()[0].platform == "tpu"
 

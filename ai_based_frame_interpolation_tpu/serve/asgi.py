@@ -23,7 +23,7 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
     try:
         from fastapi import FastAPI, File, Form, HTTPException, UploadFile
         from fastapi.middleware.cors import CORSMiddleware
-        from fastapi.responses import Response
+        from fastapi.responses import Response, StreamingResponse
     except ImportError as e:
         raise ImportError(
             "fastapi is not installed; use the stdlib server "
@@ -82,10 +82,17 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
                                str(target_fps).encode()),
         }
         try:
-            blob, fname = service.interpolate_video(parts)
+            payload, fname = service.interpolate_video(parts)
         except HTTPError as e:
             raise HTTPException(e.status, e.detail)
-        return Response(blob, media_type="video/mp4", headers={
+
+        def _stream():
+            # FilePayload: stream from disk, then remove the temp dir
+            with payload:
+                yield from payload.chunks()
+
+        return StreamingResponse(_stream(), media_type="video/mp4", headers={
+            "Content-Length": str(payload.size),
             "Content-Disposition": f'attachment; filename="{fname}"'})
 
     return app

@@ -221,6 +221,52 @@ def parse_multipart(body: bytes, content_type_header: str) -> Dict[str, Part]:
                                   content_type_header, spool_dir=None)
 
 
+class FilePayload:
+    """A response body that stays on disk until it is streamed to the socket.
+
+    The reference buffers its whole output MP4 in RAM before responding
+    (and so did round 2 here): a long clip at 8x can be hundreds of MB per
+    in-flight response. Video endpoints now hand the transport one of these;
+    the transport streams it in chunks and calls :meth:`close` when done,
+    which removes the backing temp directory.
+    """
+
+    CHUNK = 256 * 1024
+
+    def __init__(self, path: str, owned_dir: Optional[str] = None):
+        self.path = path
+        self._owned_dir = owned_dir
+        self.size = os.path.getsize(path)
+
+    def chunks(self):
+        with open(self.path, "rb") as f:
+            while True:
+                chunk = f.read(self.CHUNK)
+                if not chunk:
+                    return
+                yield chunk
+
+    def bytes(self) -> bytes:
+        """Whole-body read — for small payloads / the ASGI flavor / tests."""
+        with open(self.path, "rb") as f:
+            return f.read()
+
+    def close(self) -> None:
+        import shutil
+
+        if self._owned_dir is not None:
+            shutil.rmtree(self._owned_dir, ignore_errors=True)
+            self._owned_dir = None
+        elif os.path.exists(self.path):
+            os.unlink(self.path)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def validate_image_part(part: Optional[Part], field: str,
                         max_bytes: int) -> bytes:
     """Mirror the reference's upload validation (``api/app.py:52-63,139-154``)."""
@@ -300,8 +346,19 @@ class InterpolationService:
         self._video_jobs = 0
         self._video_jobs_lock = threading.Lock()
         self.started_at = time.time()
+        # stat counters are mutated from ThreadingHTTPServer worker threads;
+        # += on an attribute is not atomic, so guard with a dedicated lock
+        self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.requests_rejected = 0
+
+    def _count_served(self) -> None:
+        with self._stats_lock:
+            self.requests_served += 1
+
+    def _count_rejected(self) -> None:
+        with self._stats_lock:
+            self.requests_rejected += 1
 
     # -- endpoint catalog (GET /) ------------------------------------------
     def index(self) -> dict:
@@ -373,7 +430,7 @@ class InterpolationService:
                     w.write(fr)
             with open(out, "rb") as f:
                 blob = f.read()
-        self.requests_served += 1
+        self._count_served()
         return blob, f"interpolated_frames_{num}inter_{fps}fps.mp4"
 
     def interpolate_video(self, parts: Dict[str, Part],
@@ -413,7 +470,7 @@ class InterpolationService:
         # the queue grow without limit (round-1 VERDICT weak-4)
         with self._video_jobs_lock:
             if self._video_jobs >= self.cfg.max_video_queue:
-                self.requests_rejected += 1
+                self._count_rejected()
                 raise HTTPError(503, "server busy: video queue is full",
                                 headers={"Retry-After": "10"})
             self._video_jobs += 1
@@ -422,12 +479,16 @@ class InterpolationService:
             # remaining request budget for our turn
             if not self._video_lock.acquire(
                     timeout=max(0.0, deadline - time.time())):
-                self.requests_rejected += 1
+                self._count_rejected()
                 raise HTTPError(503, "server busy: timed out waiting for "
                                      "the video queue",
                                 headers={"Retry-After": "10"})
             try:
-                with tempfile.TemporaryDirectory() as tmp:
+                # the output temp dir outlives this method: the transport
+                # streams the MP4 from disk and removes the dir via
+                # FilePayload.close() — the response never sits in RAM whole
+                tmp = tempfile.mkdtemp(prefix="fi_video_")
+                try:
                     in_path = os.path.join(tmp, f"in.{ext}")
                     out_path = os.path.join(tmp, "out.mp4")
                     part.save_to(in_path)
@@ -449,17 +510,22 @@ class InterpolationService:
                     if not stats.get("output_frames"):
                         raise HTTPError(400, "could not decode any frames "
                                              "from the uploaded video")
-                    with open(out_path, "rb") as f:
-                        blob = f.read()
+                    os.unlink(in_path)        # only the output stays
+                    payload = FilePayload(out_path, owned_dir=tmp)
+                except BaseException:
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
             finally:
                 self._video_lock.release()
         finally:
             with self._video_jobs_lock:
                 self._video_jobs -= 1
-        self.requests_served += 1
+        self._count_served()
         name = (f"retimed_{target_fps:g}fps.mp4" if target_fps
                 else f"interpolated_{factor}x.mp4")
-        return blob, name
+        return payload, name
 
     def interpolate_frames(self, parts: Dict[str, Part]) -> dict:
         """PNG frames instead of a video (endpoint the reference README
@@ -512,7 +578,7 @@ class InterpolationService:
             ok, buf = cv2.imencode(".png", img2d)
             return base64.b64encode(buf.tobytes()).decode()
 
-        self.requests_served += 1
+        self._count_served()
         out = {"num_intermediate": len(mids),
                "frames": [b64png(m) for m in mids],
                "encoding": "base64 PNG, time order"}
@@ -545,7 +611,7 @@ class InterpolationService:
         for m, p in preds.items():
             out[m] = {"psnr": float(psnr(jnp.asarray(p), jnp.asarray(gt))),
                       "ssim": float(ssim_eval_auto(p[None], gt[None])[0])}
-        self.requests_served += 1
+        self._count_served()
         return {"metrics_by_method": out}
 
 
@@ -664,10 +730,18 @@ def make_handler(service: InterpolationService):
             self.send_header("Content-Type", "video/mp4")
             self.send_header("Content-Disposition",
                              f'attachment; filename="{fname}"')
-            self.send_header("Content-Length", str(len(blob)))
+            size = blob.size if isinstance(blob, FilePayload) else len(blob)
+            self.send_header("Content-Length", str(size))
             self.send_header("Access-Control-Allow-Origin", "*")
             self.end_headers()
-            self.wfile.write(blob)
+            if isinstance(blob, FilePayload):
+                # stream from disk in chunks: RSS stays flat no matter how
+                # large the output clip is
+                with blob:
+                    for chunk in blob.chunks():
+                        self.wfile.write(chunk)
+            else:
+                self.wfile.write(blob)
 
     return Handler
 

@@ -57,9 +57,31 @@ def speed_of_light(engine, height, width, channels, batch, factor=2):
         return None
     t_mxu = flops / V5E_BF16_FLOPS
     t_hbm = byts / V5E_HBM_BYTES
-    return {"flops_per_batch": flops, "hbm_bytes_per_batch": byts,
-            "sol_ms": round(max(t_mxu, t_hbm) * 1e3, 3),
-            "bound": "hbm" if t_hbm >= t_mxu else "mxu"}
+    out = {"flops_per_batch": flops, "hbm_bytes_per_batch": byts,
+           "sol_ms": round(max(t_mxu, t_hbm) * 1e3, 3),
+           "bound": "hbm" if t_hbm >= t_mxu else "mxu"}
+
+    # lane-padding-aware bound: cost_analysis counts LOGICAL bytes, but the
+    # TPU streams TILED buffers (minor dim padded to 128 lanes, sublanes to
+    # 8/16/32 by dtype) — a C=16 NHWC activation moves 8x its logical bytes.
+    # utils/hlo_traffic parses the compiled module's layouts and charges
+    # each ENTRY instruction its padded operand+output traffic (round-2
+    # VERDICT task 1: the logical-bytes roofline called the program
+    # MXU-bound while PERF.md argued padding makes it HBM-bound).
+    try:
+        from ai_based_frame_interpolation_tpu.utils.hlo_traffic import (
+            analyze_compiled)
+
+        traffic = analyze_compiled(compiled)
+    except Exception:
+        traffic = None
+    if traffic and traffic["total_bytes"]:
+        t_hbm_pad = traffic["total_bytes"] / V5E_HBM_BYTES
+        out["hbm_bytes_padded"] = traffic["total_bytes"]
+        out["pad_factor"] = traffic["pad_factor"]
+        out["sol_ms_padded"] = round(max(t_mxu, t_hbm_pad) * 1e3, 3)
+        out["bound_padded"] = "hbm" if t_hbm_pad >= t_mxu else "mxu"
+    return out
 
 
 def find_batch_and_rate(engine, height, width, channels, candidates,
@@ -234,6 +256,9 @@ def main(argv=None):
         dispatch_ms = batch / pairs_per_sec * 1e3
         sol["measured_ms_per_batch"] = round(dispatch_ms, 3)
         sol["sol_fraction"] = round(sol["sol_ms"] / dispatch_ms, 3)
+        if "sol_ms_padded" in sol:
+            sol["sol_fraction_padded"] = round(
+                sol["sol_ms_padded"] / dispatch_ms, 3)
 
     # also measure the exact-reference-architecture config for comparison
     parity_fps = None

@@ -136,29 +136,102 @@ function setMode(m) {
   document.getElementById("mode-frames").hidden = m !== "frames";
   document.getElementById("dropv").hidden = m !== "video";
   document.getElementById("ctl-num").hidden = m !== "frames";
+  document.getElementById("ctl-times").hidden = m !== "frames";
   document.getElementById("ctl-fps").hidden = m !== "frames"; // video: auto fps
   document.getElementById("ctl-factor").hidden = m !== "video";
+  document.getElementById("ctl-target-fps").hidden = m !== "video";
   setStatus("");
   refreshGo();
 }
 document.getElementById("tab-frames").addEventListener("click", () => setMode("frames"));
 document.getElementById("tab-video").addEventListener("click", () => setMode("video"));
 
+function parseTimesField() {
+  // comma-separated fractions in (0,1) for exact-time sampling; mirrors the
+  // server validation so bad input fails before the upload
+  const raw = document.getElementById("times").value.trim();
+  if (!raw) return null;
+  const times = raw.split(",").map((s) => s.trim()).filter((s) => s);
+  for (const t of times) {
+    const x = Number(t);
+    if (!isFinite(x) || x <= 0 || x >= 1)
+      throw new Error("each time must be a number in (0, 1): " + t);
+  }
+  if (times.length > 10) throw new Error("at most 10 exact times");
+  return times;
+}
+
+function showVideoResult(blob) {
+  const url = URL.createObjectURL(blob);
+  const player = document.getElementById("player");
+  player.hidden = false;
+  player.src = url;
+  document.getElementById("frames-strip").hidden = true;
+  const dl = document.getElementById("download");
+  dl.hidden = false;
+  dl.href = url;
+  dl.download = "interpolated_" + Date.now() + ".mp4";
+  document.getElementById("result").hidden = false;
+}
+
+function showFramesResult(data) {
+  // /interpolate-frames returns {frames: [base64 PNG, ...], times?: [...]}
+  const strip = document.getElementById("frames-strip");
+  strip.replaceChildren(...data.frames.map((b64, i) => {
+    const fig = document.createElement("figure");
+    fig.style.margin = "0";
+    const img = document.createElement("img");
+    img.src = "data:image/png;base64," + b64;
+    img.style.maxWidth = "160px";
+    img.style.borderRadius = "8px";
+    const cap = document.createElement("figcaption");
+    cap.className = "hint";
+    cap.textContent = data.times ? "t = " + data.times[i]
+                                 : "frame " + (i + 1);
+    fig.append(img, cap);
+    return fig;
+  }));
+  strip.hidden = false;
+  document.getElementById("player").hidden = true;
+  document.getElementById("download").hidden = true;
+  document.getElementById("result").hidden = false;
+}
+
 async function generate() {
   const form = new FormData();
   let path;
-  if (mode === "video") {
-    if (!files.v) return;
-    path = "/interpolate-video";
-    form.append("video", files.v);
-    form.append("factor", document.getElementById("factor").value);
-  } else {
-    if (!files[1] || !files[2]) return;
-    path = "/interpolate";
-    form.append("frame1", files[1]);
-    form.append("frame2", files[2]);
-    form.append("num_intermediate", document.getElementById("num").value);
-    form.append("fps", document.getElementById("fps").value);
+  let times = null;
+  try {
+    if (mode === "video") {
+      if (!files.v) return;
+      path = "/interpolate-video";
+      form.append("video", files.v);
+      const targetFps = document.getElementById("target-fps").value.trim();
+      if (targetFps) {
+        const x = Number(targetFps);
+        if (!isFinite(x) || x < 1 || x > 240)
+          throw new Error("target FPS must be in [1, 240]");
+        form.append("target_fps", targetFps); // fractional retiming
+      } else {
+        form.append("factor", document.getElementById("factor").value);
+      }
+    } else {
+      if (!files[1] || !files[2]) return;
+      times = parseTimesField();
+      form.append("frame1", files[1]);
+      form.append("frame2", files[2]);
+      if (times) {
+        path = "/interpolate-frames"; // exact-time sampling -> PNG frames
+        form.append("times", times.join(","));
+      } else {
+        path = "/interpolate";
+        form.append("num_intermediate", document.getElementById("num").value);
+        form.append("fps", document.getElementById("fps").value);
+      }
+    }
+  } catch (err) {
+    setStatus(err.message, "err");
+    return;
   }
   goBtn.disabled = true;
   setStatus("interpolating on TPU…", "busy");
@@ -172,14 +245,8 @@ async function generate() {
       try { detail = (await resp.json()).detail || detail; } catch (_) {}
       throw new Error(detail);
     }
-    const blob = await resp.blob();
-    const url = URL.createObjectURL(blob);
-    const player = document.getElementById("player");
-    player.src = url;
-    const dl = document.getElementById("download");
-    dl.href = url;
-    dl.download = "interpolated_" + Date.now() + ".mp4";
-    document.getElementById("result").hidden = false;
+    if (times) showFramesResult(await resp.json());
+    else showVideoResult(await resp.blob());
     setStatus("done", "ok");
   } catch (err) {
     setStatus("failed: " + err.message, "err");
@@ -214,6 +281,8 @@ document.getElementById("reset").addEventListener("click", () => {
                       "click or drop an image<br>jpg / png / bmp / tiff, ≤ 50 MB" }));
     document.getElementById("file" + n).value = "";
   }
+  document.getElementById("times").value = "";
+  document.getElementById("target-fps").value = "";
   document.getElementById("result").hidden = true;
   setStatus("");
   refreshGo();

@@ -1,0 +1,130 @@
+"""Per-stage HBM-traffic attribution of a compiled inference dispatch.
+
+Round-2 VERDICT task 1: the production 1080p b128 dispatch measures ~4.4x
+slower than the logical-bytes roofline, and the repo's two self-reports
+disagreed about which wall it leans on. This script compiles the requested
+engine config exactly as ``bench.py`` measures it, runs the padded-layout
+traffic analyzer (``utils/hlo_traffic``), and emits:
+
+- the padded vs logical totals and the implied HBM-bound milliseconds,
+- a top-K instruction table (op_name metadata -> which model stage),
+- an opcode rollup (convolutions vs copies vs fusions vs custom-calls).
+
+Usage (on the TPU; compiles are cached in /tmp/jax_bench_cache):
+    python scripts/hlo_attribution.py --batch 128 [--s2d 4 ...]
+Writes docs/hlo_attribution.json and prints a markdown table.
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_FLOPS = 197e12
+V5E_HBM_BYTES = 819e9
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--channels", type=int, default=1)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--s2d", type=int, default=4)
+    p.add_argument("--refine-width", type=int, default=64)
+    p.add_argument("--arch", default="unet")
+    p.add_argument("--base-width", type=int, default=64)
+    p.add_argument("--factor", type=int, default=2)
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--out", default="docs/hlo_attribution.json")
+    p.add_argument("--measured-ms", type=float, default=0.0,
+                   help="measured ms/dispatch (from bench.py) to report "
+                        "fractions against")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+    from ai_based_frame_interpolation_tpu.utils.hlo_traffic import (
+        analyze_compiled)
+
+    engine = InterpolationEngine.random_init(
+        ModelConfig(arch=args.arch, channels=args.channels,
+                    base_width=args.base_width, space_to_depth=args.s2d,
+                    refine_width=args.refine_width))
+    depth = int(math.log2(args.factor))
+    fn = engine._pair_fn(args.factor - 1, depth)
+    fn = getattr(fn, "_jitted", fn)
+    f = jnp.zeros((args.batch, args.height, args.width, args.channels),
+                  jnp.uint8)
+    print(f"compiling {args.arch} s2d{args.s2d} r{args.refine_width} "
+          f"b{args.batch} {args.height}x{args.width}x{args.channels} "
+          f"on {jax.devices()[0].platform} ...", flush=True)
+    compiled = fn.lower(engine.variables, f, f).compile()
+
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    logical = float(ca.get("bytes accessed", 0.0))
+
+    r = analyze_compiled(compiled, top_k=args.top)
+    if r is None:
+        print("could not extract HLO text", file=sys.stderr)
+        return 1
+
+    t_mxu_ms = flops / V5E_BF16_FLOPS * 1e3
+    t_hbm_logical_ms = logical / V5E_HBM_BYTES * 1e3
+    t_hbm_padded_ms = r["total_bytes"] / V5E_HBM_BYTES * 1e3
+    report = {
+        "config": vars(args),
+        "platform": jax.devices()[0].platform,
+        "flops_per_batch": flops,
+        "cost_analysis_bytes": logical,
+        "entry_logical_bytes": r["total_bytes_logical"],
+        "entry_padded_bytes": r["total_bytes"],
+        "pad_factor": r["pad_factor"],
+        "mxu_ms": round(t_mxu_ms, 2),
+        "hbm_ms_logical": round(t_hbm_logical_ms, 2),
+        "hbm_ms_padded": round(t_hbm_padded_ms, 2),
+        "bound_padded": "hbm" if t_hbm_padded_ms >= t_mxu_ms else "mxu",
+        "by_opcode": r["by_opcode"],
+        "top": r["top"],
+    }
+    if args.measured_ms:
+        report["measured_ms"] = args.measured_ms
+        report["sol_fraction_padded"] = round(
+            max(t_mxu_ms, t_hbm_padded_ms) / args.measured_ms, 3)
+
+    with open(args.out, "w") as fobj:
+        json.dump(report, fobj, indent=1)
+    print(f"\npadded {r['total_bytes']/1e9:.2f} GB vs logical "
+          f"{r['total_bytes_logical']/1e9:.2f} GB  (pad x{r['pad_factor']})")
+    print(f"MXU {t_mxu_ms:.1f} ms | HBM logical {t_hbm_logical_ms:.1f} ms | "
+          f"HBM padded {t_hbm_padded_ms:.1f} ms  -> bound: "
+          f"{report['bound_padded']}")
+    print("\n| opcode | count | padded GB | logical GB |")
+    print("|---|---|---|---|")
+    for op, agg in report["by_opcode"].items():
+        print(f"| {op} | {agg['count']} | {agg['bytes']/1e9:.2f} | "
+              f"{agg['logical']/1e9:.2f} |")
+    print("\n| instruction | op | padded MB | pad x |")
+    print("|---|---|---|---|")
+    for row in r["top"][:args.top]:
+        print(f"| {row['name']} | {row['op'] or row['opcode']} | "
+              f"{row['bytes']/1e6:.0f} | {row['pad_factor']} |")
+    print(f"\nwrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
