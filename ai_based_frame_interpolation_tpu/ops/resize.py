@@ -92,16 +92,59 @@ def _linear_taps_np(in_size: int, out_size: int, align_corners: bool):
     return lo, hi, w
 
 
+# integer-factor upsample taps: "shifts" (gather-free, the default) or
+# "take" (the round-2 jnp.take formulation — kept for A/B measurement,
+# scripts/resize_ab.py)
+_INT_UPSAMPLE_IMPL = "shifts"
+
+
 def _lerp_axis(x: jax.Array, axis: int, in_size: int, out_size: int,
                align_corners: bool) -> jax.Array:
     lo, hi, w = _linear_taps_np(in_size, out_size, align_corners)
-    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
-    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
+    if (out_size % in_size == 0 and out_size > in_size
+            and _INT_UPSAMPLE_IMPL == "shifts"):
+        # integer upsample factor: gather-free shift+select formulation
+        # (same taps/weights bit-for-bit). XLA lowers jnp.take on TPU to a
+        # serialized while-loop descriptor gather — measured as the single
+        # largest non-conv cost of the production 1080p dispatch (24 while
+        # loops, 28 GB padded traffic, docs/hlo_attribution.json). For
+        # out = s*in the two taps always sit at o//s + {-1, 0, +1}, so the
+        # gather collapses to a repeat + two s-row shifts + constant-mask
+        # selects — all fusible elementwise/layout ops, no descriptors.
+        s = out_size // in_size
+        base = np.arange(out_size) // s
+        r = jnp.repeat(x, s, axis=axis)                  # r[o] = x[o//s]
+        rm = jnp.concatenate(                            # r[o-s] (clamped)
+            [_slice_axis(r, axis, 0, s), _slice_axis(r, axis, 0,
+                                                     out_size - s)], axis)
+        rp = jnp.concatenate(                            # r[o+s] (clamped)
+            [_slice_axis(r, axis, s, out_size),
+             _slice_axis(r, axis, out_size - s, out_size)], axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+
+        def pick(off):
+            off = np.asarray(off)
+            sel_m = jnp.asarray(off == -1).reshape(shape)
+            sel_p = jnp.asarray(off == 1).reshape(shape)
+            return jnp.where(sel_m, rm, jnp.where(sel_p, rp, r))
+
+        x_lo = pick(lo - base)
+        x_hi = pick(hi - base)
+    else:
+        x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+        x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
     wb = jnp.asarray(w).reshape(shape)
     out = x_lo.astype(jnp.float32) * (1.0 - wb) + x_hi.astype(jnp.float32) * wb
     return out.astype(x.dtype)
+
+
+def _slice_axis(x: jax.Array, axis: int, start: int, stop: int) -> jax.Array:
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, stop)
+    return x[tuple(idx)]
 
 
 # Max contraction width for the W-axis matmul formulation. Above this the
