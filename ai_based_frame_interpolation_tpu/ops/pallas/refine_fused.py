@@ -74,6 +74,10 @@ import jax.numpy as jnp
 # high-water mark at 1080p/w=64/th=16 is ~5 MB.
 _TH = 16
 
+# compiled-mode micro-opt switch (bitcast rolls + MXU out-conv); exists
+# so scripts/refine_fast_ab.py can A/B the round-2 lowering in-process
+_FAST = True
+
 
 def _tile_h(h: int) -> int:
     return _TH if h % _TH == 0 else 8
@@ -102,18 +106,30 @@ def eligible(shape, cfg=None) -> bool:
     return ok
 
 
-def _roll_lanes(x: jax.Array, kx: int):
-    """Lane-rotate left by kx via f32 (the rotate unit is 32-bit only)."""
+def _roll_lanes(x: jax.Array, kx: int, fast: bool = False):
+    """Lane-rotate left by kx via f32 (the rotate unit is 32-bit only).
+
+    ``fast`` (compiled TPU only — interpret mode lacks the primitive):
+    bf16 rows are rolled through a BITCAST f32 view instead of a convert
+    round trip. ``pltpu.bitcast`` packs sublane PAIRS into one 32-bit word
+    ((2,1) tiling), and a lane rotation moves every packed row identically,
+    so bitcast-roll-bitcast is exact — at half the rotate-unit rows and
+    zero converts. The rolls were the head's measured VPU bottleneck
+    (~0.71 ms/frame round 2, docs/PERF.md)."""
     from jax.experimental.pallas import tpu as pltpu
 
     if kx == 0:
         return x
     n = x.shape[-1]
+    if fast and x.dtype == jnp.bfloat16 and x.shape[-2] % 2 == 0:
+        v = pltpu.bitcast(x, jnp.float32)            # (rows/2, n)
+        return pltpu.bitcast(pltpu.roll(v, n - kx, axis=1), jnp.bfloat16)
     return pltpu.roll(x.astype(jnp.float32), n - kx, axis=1).astype(x.dtype)
 
 
 def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
-            pack: int, groups, cdt, depthwise: bool, ch: int, nplanes: int):
+            pack: int, groups, cdt, depthwise: bool, ch: int,
+            nplanes: int, fast: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -145,7 +161,7 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
     # 27-operand conv1 concat below mixes kx classes legally)
     for p in range(nplanes):
         for kx in range(3):
-            zrm[p, kx] = _roll_lanes(zt[p], kx)
+            zrm[p, kx] = _roll_lanes(zt[p], kx, fast)
     zr = [[zrm[p, kx] for kx in range(3)] for p in range(nplanes)]
 
     # column mask: z1 lane j is frame column j-1; zero outside the image
@@ -179,11 +195,19 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
         z1m[0, s] = base.astype(z1m.dtype)
         if not depthwise:
             for kx in (1, 2):
-                z1m[kx, s] = _roll_lanes(base, kx)
+                z1m[kx, s] = _roll_lanes(base, kx, fast)
 
     fill(0)
     fill(1)
     w3col = w3_ref[...]
+    if fast:
+        # 1x1 out conv on the MXU with bf16 operands (the VPU reduction was
+        # measured as part of the head's issue-bound tail; f32 MXU matmuls
+        # carry VPU fixups, bf16 operands don't). M is padded to 8 sublanes
+        # (ch is 1 or 3); weight rounding to bf16 moves only the residual
+        # DELTA by <=2^-9 relative — quality-neutral by trained-checkpoint
+        # A/B (docs/PERF.md round 3).
+        w3c = jnp.pad(w3col, ((0, 0), (0, 8 - ch))).astype(cdt)   # (w, 8)
     if depthwise:
         wdw = wdw_ref[...]               # (9, w, 1) f32, tap = ky*3 + kx
     for t in range(th):
@@ -198,7 +222,7 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                 for ky in range(3):
                     term = wdw[ky * 3 + kx] * z1m[0, (t + ky) % 3][:, :w1_]
                     s = term if s is None else s + term
-                s = _roll_lanes(s, kx)
+                s = _roll_lanes(s, kx, fast)
                 acc = s if acc is None else acc + s
             zdw = acc.astype(cdt) + bdw_ref[...]               # (w, W+2)
             acc2 = jax.lax.dot_general(
@@ -217,12 +241,22 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             z2t = jax.nn.relu(acc.astype(cdt) + b2_ref[...])   # (w, W+2)
-        for c in range(ch):
-            delta = jnp.sum(z2t.astype(jnp.float32) * w3col[:, c:c + 1],
-                            axis=0, keepdims=True) + b3_ref[c, 0]  # (1, W+2)
-            dpad = jnp.pad(delta, ((0, 0), (0, wp - delta.shape[1])))
-            ot[c, pl.ds(t, 1), :] = (ygt[c, pl.ds(t, 1), :] +
-                                     dpad).astype(ot.dtype)
+        if fast:
+            d = jax.lax.dot_general(
+                w3c, z2t, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (8, W+2)
+            dp = jnp.pad(d, ((0, 0), (0, wp - d.shape[1])))
+            for c in range(ch):
+                ot[c, pl.ds(t, 1), :] = (ygt[c, pl.ds(t, 1), :]
+                                         + dp[c:c + 1]
+                                         + b3_ref[c, 0]).astype(ot.dtype)
+        else:
+            for c in range(ch):
+                delta = jnp.sum(z2t.astype(jnp.float32) * w3col[:, c:c + 1],
+                                axis=0, keepdims=True) + b3_ref[c, 0]
+                dpad = jnp.pad(delta, ((0, 0), (0, wp - delta.shape[1])))
+                ot[c, pl.ds(t, 1), :] = (ygt[c, pl.ds(t, 1), :] +
+                                         dpad).astype(ot.dtype)
 
     cout = pltpu.make_async_copy(ot, o_hbm.at[b, :, pl.ds(r0, th), :],
                                  sems.at[2])
@@ -352,7 +386,8 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, height=h, width=wd, wp=wp, w=w,
                           pack=pack, groups=tuple(groups), cdt=cdt,
-                          depthwise=depthwise, ch=ch, nplanes=nplanes),
+                          depthwise=depthwise, ch=ch, nplanes=nplanes,
+                          fast=not interpret and _FAST),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # zp

@@ -136,8 +136,16 @@ def _lerp_axis(x: jax.Array, axis: int, in_size: int, out_size: int,
         x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
         shape = [1] * x.ndim
         shape[axis] = out_size
-    wb = jnp.asarray(w).reshape(shape)
-    out = x_lo.astype(jnp.float32) * (1.0 - wb) + x_hi.astype(jnp.float32) * wb
+    # bf16 inputs lerp in bf16: the f32 intermediate DOUBLES the decoder's
+    # resize traffic (docs/hlo_attribution.json: the up4 f32->bf16 convert
+    # fusion alone moved 8.6 GB/dispatch at 1080p b128). Weight rounding to
+    # bf16 errs <= 2^-9 of the local pixel delta — the same tolerance the
+    # W-matmul path already accepts, far below uint8 output quantization.
+    # f32/other inputs keep the exact-f32 lerp (torch-parity golden path).
+    acc = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    wb = jnp.asarray(w).astype(acc).reshape(shape)
+    out = x_lo.astype(acc) * (jnp.asarray(1.0, acc) - wb) \
+        + x_hi.astype(acc) * wb
     return out.astype(x.dtype)
 
 

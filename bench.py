@@ -272,44 +272,58 @@ def main(argv=None):
         except Exception:
             pass
 
-    # the two flagship companions of the default unet speed line:
-    # the quality flagship (flow family — converged scenes SSIM 0.929 at
-    # fs4+r16 vs Farneback 0.905, unet production arm 0.888) and the RGB
-    # production config (README.md:180-182 framing of BASELINE.json)
-    flow_flagship = rgb_flagship = None
+    # flagship companions of the default unet speed line (the canonical
+    # quality numbers these quote live in docs/QUALITY.md — task-8
+    # truth-sync: bench strings reference, never restate, that table):
+    # - flow-speed flagship: fs4+r16 (the flow production config)
+    # - flow-quality flagship: fs1+r16 at its largest compiling chunk
+    #   (split-jit + microbatch; the photo training recipe shares this
+    #   architecture, weights don't change throughput)
+    # - RGB unet production config (README.md:180-182 framing) and RGB
+    #   flow via split-jit + microbatch (docs/flow_frontier.json)
+    flow_flagship = flow_quality = rgb_flagship = rgb_flow = None
     if not args.skip_extras and args.arch == "unet" and args.channels == 1 \
             and budget_left():
-        try:
-            flow_engine = InterpolationEngine.random_init(
-                ModelConfig(arch="flow", base_width=32, flow_scale=4,
-                            refine_width=16, warp_impl="shifts",
-                            max_flow=args.max_flow))
-            fb, ffps, fmid, ferrs = find_batch_and_rate(
-                flow_engine, args.height, args.width, 1, [96, 64, 32, 16],
-                min_seconds=args.seconds, factor=args.factor)
-            flow_flagship = {"batch": fb, "fps": round(ffps, 2),
-                             "batch_errors": ferrs or None,
-                             "computed_midpoints_per_sec": round(fmid, 2),
-                             "config": "flow fs4+r16 mf32 (scenes SSIM "
-                                       "0.929 converged; unet prod: 0.888)"}
-        except Exception:
-            pass
-        try:
+        def companion(cfg, channels, batches, label, split=None, mdb=None):
             if not budget_left():
-                raise RuntimeError("budget exhausted")
-            rgb_engine = InterpolationEngine.random_init(
-                ModelConfig(channels=3, space_to_depth=args.s2d,
-                            refine_width=args.refine_width))
-            rb, rfps, rmid, rerrs = find_batch_and_rate(
-                rgb_engine, args.height, args.width, 3, [16, 8, 4],
-                min_seconds=args.seconds, factor=args.factor)
-            rgb_flagship = {"batch": rb, "fps": round(rfps, 2),
-                            "batch_errors": rerrs or None,
-                            "computed_midpoints_per_sec": round(rmid, 2),
-                            "config": f"RGB s2d{args.s2d}+"
-                                      f"r{args.refine_width}"}
-        except Exception:
-            pass
+                return None
+            try:
+                eng = InterpolationEngine.random_init(cfg)
+                if split is not None:
+                    eng.flow_split_override = split
+                if mdb:
+                    eng.max_dispatch_batch = mdb
+                b, fps_, mid, errs = find_batch_and_rate(
+                    eng, args.height, args.width, channels, batches,
+                    min_seconds=args.seconds, factor=args.factor)
+                return {"batch": b, "fps": round(fps_, 2),
+                        "batch_errors": errs or None,
+                        "computed_midpoints_per_sec": round(mid, 2),
+                        "config": label}
+            except Exception:
+                return None
+
+        flow_flagship = companion(
+            ModelConfig(arch="flow", base_width=32, flow_scale=4,
+                        refine_width=16, warp_impl="shifts", max_flow=16),
+            1, [128, 96, 64, 32], "flow fs4+r16 mf16 (flow production "
+            "config; quality pedigree: docs/QUALITY.md)")
+        flow_quality = companion(
+            ModelConfig(arch="flow", base_width=32, flow_scale=1,
+                        refine_width=16, warp_impl="shifts", max_flow=32),
+            1, [64, 32, 16, 8], "flow fs1+r16 split mdb8 (quality flagship "
+            "architecture — the --flow-photo 0.1 recipe; docs/QUALITY.md)",
+            split=True, mdb=8)
+        rgb_flagship = companion(
+            ModelConfig(channels=3, space_to_depth=args.s2d,
+                        refine_width=args.refine_width),
+            3, [16, 8, 4], f"RGB unet s2d{args.s2d}+r{args.refine_width}")
+        rgb_flow = companion(
+            ModelConfig(arch="flow", channels=3, base_width=32,
+                        flow_scale=4, refine_width=16, warp_impl="shifts",
+                        max_flow=16),
+            3, [64, 32, 16, 8], "RGB flow fs4+r16 mf16 split mdb8",
+            split=True, mdb=8)
 
     baseline_per_chip = 25.0     # >200 fps on v5e-8 => 25 fps/chip
     print(json.dumps({
@@ -332,7 +346,9 @@ def main(argv=None):
                    if parity_fps else None,
                    "roofline": sol,
                    "flow_flagship": flow_flagship,
-                   "rgb_flagship": rgb_flagship},
+                   "flow_quality": flow_quality,
+                   "rgb_flagship": rgb_flagship,
+                   "rgb_flow": rgb_flow},
     }))
     return 0
 
