@@ -263,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     ds.add_argument("--channels", type=int, default=1, choices=(1, 3))
     ds.add_argument("--sprites", type=int, default=4)
     ds.add_argument("--seed", type=int, default=0)
+    ds.add_argument("--max-speed", type=float, default=6.0,
+                    help="sprite speed bound in px/frame (fast tiers "
+                         ">= ~16 exceed the shifts-warp --max-flow bound "
+                         "at training time)")
     ds.add_argument("--motion", default="linear", choices=("linear", "hard"),
                     help="'linear' = constant velocities (the standard "
                          "harness tier); 'hard' adds camera rotation/zoom, "
@@ -655,7 +659,8 @@ def cmd_dataset(args) -> int:
                             num_frames=args.frames, height=args.size,
                             width=args.size, channels=args.channels,
                             num_sprites=args.sprites, seed=args.seed,
-                            motion=args.motion)
+                            motion=args.motion,
+                            max_speed=args.max_speed)
     n_triplets = args.videos * max(0, args.frames - 2)
     print(f"wrote {len(dirs)} clips x {args.frames} frames "
           f"({n_triplets} triplets) to {args.output_dir}")

@@ -187,9 +187,14 @@ def write_scene_tree(root: str, num_videos: int = 8, num_frames: int = 16,
                      height: int = 256, width: int = 256,
                      channels: int = 1, seed: int = 0,
                      num_sprites: int = 4,
-                     motion: str = "linear") -> List[str]:
+                     motion: str = "linear",
+                     max_speed: float = 6.0) -> List[str]:
     """Write a training-scale tree of :func:`moving_scene_frames` clips in
-    the reference's directory layout (``<root>/<video>/frame_XXX.png``)."""
+    the reference's directory layout (``<root>/<video>/frame_XXX.png``).
+
+    ``max_speed`` (px/frame) scales sprite velocities — the fast-motion
+    tiers (>= ~16 px/frame) probe the shifts-warp displacement bound
+    (``ModelConfig.max_flow``) by exceeding it at training time."""
     import cv2
 
     dirs = []
@@ -198,7 +203,8 @@ def write_scene_tree(root: str, num_videos: int = 8, num_frames: int = 16,
         os.makedirs(vdir, exist_ok=True)
         frames = moving_scene_frames(num_frames, height, width,
                                      channels=channels, seed=seed + 1000 * v,
-                                     num_sprites=num_sprites, motion=motion)
+                                     num_sprites=num_sprites, motion=motion,
+                                     max_speed=max_speed)
         for i, f in enumerate(frames):
             img = f[..., 0] if f.shape[-1] == 1 else f[..., ::-1]
             cv2.imwrite(os.path.join(vdir, f"frame_{i:03d}.png"), img)

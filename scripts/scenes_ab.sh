@@ -8,6 +8,8 @@
 #         EPOCHS training budget (default 50)
 #         MOTION dataset motion tier (default linear; "hard" = rotation/
 #                zoom/acceleration/orbits — use a separate WORK dir)
+#         MAXSPEED sprite px/frame bound (default 6; >=16 probes the
+#                shifts-warp --max-flow clamp at training time)
 #
 # Each arm trains into $WORK/ck_<name>, evaluates on the held-out clips
 # into $WORK/eval_<name>/, and the script ends with a summary table.
@@ -19,6 +21,7 @@ set -f   # $flags is word-split on purpose below; never glob-expanded
 WORK=${WORK:-/tmp/scenes_ab}
 EPOCHS=${EPOCHS:-50}
 MOTION=${MOTION:-linear}
+MAXSPEED=${MAXSPEED:-6}
 cd /root/repo
 mkdir -p "$WORK"
 
@@ -27,12 +30,12 @@ mkdir -p "$WORK"
 if [ ! -d "$WORK/train" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
     --output-dir "$WORK/train" --videos 24 --size 128 --seed 0 \
-    --motion "$MOTION"
+    --motion "$MOTION" --max-speed "$MAXSPEED"
 fi
 if [ ! -d "$WORK/test" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
     --output-dir "$WORK/test" --videos 6 --size 128 --seed 100 \
-    --motion "$MOTION"
+    --motion "$MOTION" --max-speed "$MAXSPEED"
 fi
 
 for spec in "$@"; do
