@@ -29,9 +29,16 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.polyphase import up2_conv_half_pixel
 from ..ops.resize import upsample2x_align_corners, upsample2x_half_pixel
 
 Dtype = Any
+
+# Fuse the half-pixel decoder upsample into the Up block's first conv as a
+# low-resolution 4-phase conv (ops/polyphase.py): exact same math, no
+# full-res upsampled intermediate, 4x the conv's MXU N width. Module-level
+# so A/B scripts can flip it in-process (scripts/resize_ab.py pattern).
+UP_POLYPHASE = True
 
 
 def space_to_depth(x: jax.Array, r: int) -> jax.Array:
@@ -92,6 +99,26 @@ def grouped_concat(parts, g: int) -> jax.Array:
     return jnp.concatenate(split, axis=-1).reshape(b, h, w, -1)
 
 
+class _ConvParams(nn.Module):
+    """Declare a 3x3 conv's params without applying it — same names,
+    shapes, dtypes and initializers as ``nn.Conv`` (kernel lecun_normal,
+    bias zeros), so a module path holding one is checkpoint-identical to
+    the nn.Conv it replaces. Used by the polyphase fused up+conv path,
+    which applies the kernel in transformed (phase-composed) form."""
+
+    cin: int
+    cout: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, self.cin, self.cout))
+        b = (self.param("bias", nn.initializers.zeros, (self.cout,))
+             if self.use_bias else None)
+        return k, b
+
+
 class DoubleConv(nn.Module):
     """(3x3 conv, no bias -> BatchNorm -> ReLU) x 2.
 
@@ -109,16 +136,29 @@ class DoubleConv(nn.Module):
     pack: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 poly_low: Optional[jax.Array] = None) -> jax.Array:
         if self.pack > 1 and not self.folded:
             raise ValueError("pack > 1 requires folded BatchNorm "
                              "(inference-only layout)")
         mid = self.mid_ch if self.mid_ch is not None else self.out_ch
         for i, ch in enumerate((mid, self.out_ch)):
-            x = nn.Conv(ch * self.pack, (3, 3), padding="SAME",
-                        use_bias=self.folded, dtype=self.compute_dtype,
-                        feature_group_count=self.pack,
-                        name=f"conv{i + 1}")(x)
+            if i == 0 and poly_low is not None:
+                # Fused up2+conv1 (ops/polyphase.py): ``x`` is the skip,
+                # ``poly_low`` the pre-upsample activation. The param tree
+                # is identical to the nn.Conv path (same name/shapes/init),
+                # so checkpoints are interchangeable between impls.
+                cin = x.shape[-1] + poly_low.shape[-1]
+                k, bias = _ConvParams(cin, ch, self.folded, name="conv1")()
+                x = up2_conv_half_pixel(
+                    poly_low, x, k, bias,
+                    compute_dtype=self.compute_dtype).astype(
+                        self.compute_dtype)
+            else:
+                x = nn.Conv(ch * self.pack, (3, 3), padding="SAME",
+                            use_bias=self.folded, dtype=self.compute_dtype,
+                            feature_group_count=self.pack,
+                            name=f"conv{i + 1}")(x)
             if not self.folded:
                 # BN statistics in f32 for stability; torch defaults eps=1e-5,
                 # momentum 0.1 (flax: momentum = 1 - torch_momentum).
@@ -167,11 +207,21 @@ class Up(nn.Module):
         # carry pack * per-item channels)
         in_ch = (x1.shape[-1] + x2.shape[-1]) // self.pack
         if self.bilinear:
+            mid = in_ch // 2
+            if (UP_POLYPHASE and self.upsample == "half_pixel"
+                    and self.pack == 1
+                    and x2.shape[-3] == 2 * x1.shape[-3]
+                    and x2.shape[-2] == 2 * x1.shape[-2]):
+                # fused up2+conv1 (exact; ops/polyphase.py) — no full-res
+                # upsampled intermediate, 4x conv1 MXU N width
+                return DoubleConv(self.out_ch, mid_ch=mid,
+                                  folded=self.folded,
+                                  compute_dtype=self.compute_dtype,
+                                  name="conv")(x2, train, poly_low=x1)
             if self.upsample == "half_pixel":
                 x1 = upsample2x_half_pixel(x1)
             else:
                 x1 = upsample2x_align_corners(x1)
-            mid = in_ch // 2
         else:
             if self.pack > 1:
                 raise ValueError("pack > 1 supports the bilinear decoder only")

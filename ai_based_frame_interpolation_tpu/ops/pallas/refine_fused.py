@@ -78,6 +78,12 @@ _TH = 16
 # so scripts/refine_fast_ab.py can A/B the round-2 lowering in-process
 _FAST = True
 
+# direct NHWC mode switch (no caller prep chain); see refine_head_fused.
+# OFF until the compiled path passes the TPU parity probe
+# (scripts/refine_direct_probe.py) — interpret parity alone is not enough
+# (CLAUDE.md Mosaic gotcha).
+_DIRECT = False
+
 
 def _tile_h(h: int) -> int:
     return _TH if h % _TH == 0 else 8
@@ -129,11 +135,27 @@ def _roll_lanes(x: jax.Array, kx: int, fast: bool = False):
 
 def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
             pack: int, groups, cdt, depthwise: bool, ch: int,
-            nplanes: int, fast: bool):
+            nplanes: int, fast: bool, direct: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if depthwise:
+    if direct:
+        # Direct NHWC mode (gray, 128-multiple width): inputs are the
+        # UNTRANSPOSED (B, H, W) frame/plane tensors straight from the
+        # model — no caller-side concat/pad/transpose chain at all. Plane 0
+        # (the f32 prediction) doubles as the residual base; its rows land
+        # in the f32 scratch ``ztf`` and are cast per-roll.
+        nhb = len(args) - (15 if depthwise else 13)
+        hbm_in = args[:nhb]
+        args = args[nhb:]
+        if depthwise:
+            (w1t_ref, b1_ref, wdw_ref, bdw_ref, wpw_ref, bpw_ref,
+             w3_ref, b3_ref, o_hbm, ztf, zt, zrm, z1m, ot, sems) = args
+        else:
+            (w1t_ref, b1_ref, w2g_ref, b2_ref,
+             w3_ref, b3_ref, o_hbm, ztf, zt, zrm, z1m, ot, sems) = args
+        ygt = None
+    elif depthwise:
         (z_hbm, yg_hbm, w1t_ref, b1_ref, wdw_ref, bdw_ref, wpw_ref, bpw_ref,
          w3_ref, b3_ref, o_hbm, zt, zrm, z1m, ygt, ot, sems) = args
     else:
@@ -143,37 +165,115 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
     b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = pl.multiple_of(i * th, 8)
-    w1_ = width + 2                      # z1 row width (1-col halo each side)
+    ntiles = height // th
+    w1_ = width if direct else width + 2  # z1 row width (halo inside lanes)
 
-    # DMA slice extents on the second-minor dim must be 8-aligned: fetch
-    # th+8 rows (the caller pads the bottom accordingly); only th+4 are used
-    cin = pltpu.make_async_copy(
-        z_hbm.at[b, :, pl.ds(r0, th + 8), :], zt, sems.at[0])
-    cyg = pltpu.make_async_copy(
-        yg_hbm.at[b, :, pl.ds(r0, th), :], ygt, sems.at[1])
-    cin.start()
-    cyg.start()
-    cin.wait()
-    cyg.wait()
+    if direct:
+        # Three static 8-aligned row-window DMAs per plane: the 8-row top
+        # halo (tiles i>0), the th-row body, the 8-row bottom halo (tiles
+        # i<last). Scratch row g-r0+8 holds frame row g; halo rows that a
+        # border tile never fetched are stale VMEM — the two rows adjacent
+        # to the image border are explicitly zeroed below (the 3x3 convs'
+        # zero padding), and z1 rows wholly outside the frame are
+        # select-masked to zero in ``z1_row``, so stale bits (even NaN)
+        # never reach an output.
+        copies = []
+        for p, src in enumerate(hbm_in):
+            dst = ztf if p == 0 else zt.at[p - 1]
+            copies.append(pltpu.make_async_copy(
+                src.at[b, pl.ds(r0, th), :], dst.at[pl.ds(8, th), :],
+                sems.at[3 * p]))
+            copies[-1].start()
+
+            @pl.when(i > 0)
+            def _(p=p, src=src, dst=dst):
+                c = pltpu.make_async_copy(
+                    src.at[b, pl.ds(pl.multiple_of(r0 - 8, 8), 8), :],
+                    dst.at[pl.ds(0, 8), :],
+                    sems.at[3 * p + 1])
+                c.start()
+                c.wait()
+
+            @pl.when(i < ntiles - 1)
+            def _(p=p, src=src, dst=dst):
+                c = pltpu.make_async_copy(
+                    src.at[b, pl.ds(pl.multiple_of(r0 + th, 8), 8), :],
+                    dst.at[pl.ds(8 + th, 8), :], sems.at[3 * p + 2])
+                c.start()
+                c.wait()
+        for c in copies:
+            c.wait()
+
+        # Zero the conv halo rows that lie outside the image: scratch rows
+        # 6-7 are frame rows r0-2, r0-1 (virtual zero-pad rows for the top
+        # tile) and rows th+8, th+9 are frame rows r0+th, r0+th+1 (bottom
+        # tile). Zeroing the SOURCE rows before the roll loop makes every
+        # downstream tap read conv-correct zeros. Full 8-row windows keep
+        # every store (8,128)-tile-aligned; the extra 6 rows per window are
+        # dead scratch no tap ever reads.
+        @pl.when(i == 0)
+        def _():
+            ztf[pl.ds(0, 8), :] = jnp.zeros((8, wp), ztf.dtype)
+            for p in range(nplanes - 1):
+                zt[p, pl.ds(0, 8), :] = jnp.zeros((8, wp), zt.dtype)
+
+        @pl.when(i == ntiles - 1)
+        def _():
+            ztf[pl.ds(th + 8, 8), :] = jnp.zeros((8, wp), ztf.dtype)
+            for p in range(nplanes - 1):
+                zt[p, pl.ds(th + 8, 8), :] = jnp.zeros((8, wp), zt.dtype)
+    else:
+        # DMA slice extents on the second-minor dim must be 8-aligned:
+        # fetch th+8 rows (the caller pads the bottom accordingly); only
+        # th+4 are used
+        cin = pltpu.make_async_copy(
+            z_hbm.at[b, :, pl.ds(r0, th + 8), :], zt, sems.at[0])
+        cyg = pltpu.make_async_copy(
+            yg_hbm.at[b, :, pl.ds(r0, th), :], ygt, sems.at[1])
+        cin.start()
+        cyg.start()
+        cin.wait()
+        cyg.wait()
 
     # planes, pre-rolled for the three horizontal taps and materialized via
     # the scratch round trip (clears the rotation's lazy lane offset, so the
-    # 27-operand conv1 concat below mixes kx classes legally)
+    # 27-operand conv1 concat below mixes kx classes legally).
+    # Legacy layout: frame col c sits at lane c+2 (caller left-pad), so tap
+    # kx is a left-rotate by kx and the pad provides border zeros. Direct
+    # layout: lane c == col c, taps are rotates by kx-1 with the circular
+    # wrap lane(s) masked to zero (SAME-conv border semantics).
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
     for p in range(nplanes):
+        src = (ztf[...].astype(cdt) if direct and p == 0
+               else zt[p - 1 if direct else p])
         for kx in range(3):
-            zrm[p, kx] = _roll_lanes(zt[p], kx, fast)
+            if direct:
+                rolled = _roll_lanes(src, (kx - 1) % wp, fast)
+                if kx == 0:
+                    rolled = jnp.where(lane_i == 0, jnp.zeros_like(rolled),
+                                       rolled)
+                elif kx == 2:
+                    rolled = jnp.where(lane_i == wp - 1,
+                                       jnp.zeros_like(rolled), rolled)
+                zrm[p, kx] = rolled
+            else:
+                zrm[p, kx] = _roll_lanes(src, kx, fast)
     zr = [[zrm[p, kx] for kx in range(3)] for p in range(nplanes)]
 
-    # column mask: z1 lane j is frame column j-1; zero outside the image
-    # (SAME-conv border semantics for the second conv's input)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w1_), 1)
-    colmask = (lane >= 1) & (lane <= width)
+    # column mask (legacy layout only): z1 lane j is frame column j-1;
+    # zero outside the image (SAME-conv border semantics for conv2's input)
+    if direct:
+        colmask = jnp.bool_(True)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w1_), 1)
+        colmask = (lane >= 1) & (lane <= width)
+    roff = 6 if direct else 0            # scratch row of frame row r0 - 2
 
     def z1_row(r):
         """One (w, W+2) row of the first conv's output, transposed: a single
         (w, 27) @ (27, W+2) MXU pass over the 27-row im2col concat."""
         a = jnp.concatenate(
-            [zr[p][kx][r + ky:r + ky + 1, :w1_]
+            [zr[p][kx][roff + r + ky:roff + r + ky + 1, :w1_]
              for ky in range(3) for p in range(nplanes) for kx in range(3)],
             axis=0)
         d = jax.lax.dot_general(
@@ -192,6 +292,17 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
         of nine up-casts at use; the bf16 rounding keeps Flax parity)."""
         base = jnp.pad(z1_row(r), ((0, 0), (0, wp - w1_)))
         s = r % 3
+        if direct and not depthwise:
+            # Direct layout: z1 lane j IS frame column j, so conv2 tap kx
+            # reads column j+kx-1 — a left-rotate by kx-1 with the circular
+            # wrap lane zeroed (SAME-conv border), mirroring conv1's taps.
+            z1m[1, s] = base.astype(z1m.dtype)
+            for kx in (0, 2):
+                rolled = _roll_lanes(base, (kx - 1) % wp, fast)
+                bad = lane_i == (0 if kx == 0 else wp - 1)
+                z1m[kx, s] = jnp.where(bad, jnp.zeros_like(rolled),
+                                       rolled).astype(z1m.dtype)
+            return
         z1m[0, s] = base.astype(z1m.dtype)
         if not depthwise:
             for kx in (1, 2):
@@ -222,7 +333,14 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                 for ky in range(3):
                     term = wdw[ky * 3 + kx] * z1m[0, (t + ky) % 3][:, :w1_]
                     s = term if s is None else s + term
-                s = _roll_lanes(s, kx, fast)
+                if direct:
+                    s = _roll_lanes(s, (kx - 1) % wp, fast)
+                    if kx == 0:
+                        s = jnp.where(lane_i == 0, jnp.zeros_like(s), s)
+                    elif kx == 2:
+                        s = jnp.where(lane_i == wp - 1, jnp.zeros_like(s), s)
+                else:
+                    s = _roll_lanes(s, kx, fast)
                 acc = s if acc is None else acc + s
             zdw = acc.astype(cdt) + bdw_ref[...]               # (w, W+2)
             acc2 = jax.lax.dot_general(
@@ -241,13 +359,20 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
             z2t = jax.nn.relu(acc.astype(cdt) + b2_ref[...])   # (w, W+2)
+        def res_base(c):
+            # residual base row: in direct mode the prediction plane's f32
+            # scratch window doubles as the residual (frame row r0+t is
+            # scratch row t+8); legacy reads the dedicated ygt tile
+            return (ztf[pl.ds(t + 8, 1), :] if direct
+                    else ygt[c, pl.ds(t, 1), :])
+
         if fast:
             d = jax.lax.dot_general(
                 w3c, z2t, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (8, W+2)
             dp = jnp.pad(d, ((0, 0), (0, wp - d.shape[1])))
             for c in range(ch):
-                ot[c, pl.ds(t, 1), :] = (ygt[c, pl.ds(t, 1), :]
+                ot[c, pl.ds(t, 1), :] = (res_base(c)
                                          + dp[c:c + 1]
                                          + b3_ref[c, 0]).astype(ot.dtype)
         else:
@@ -255,11 +380,11 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                 delta = jnp.sum(z2t.astype(jnp.float32) * w3col[:, c:c + 1],
                                 axis=0, keepdims=True) + b3_ref[c, 0]
                 dpad = jnp.pad(delta, ((0, 0), (0, wp - delta.shape[1])))
-                ot[c, pl.ds(t, 1), :] = (ygt[c, pl.ds(t, 1), :] +
+                ot[c, pl.ds(t, 1), :] = (res_base(c) +
                                          dpad).astype(ot.dtype)
 
     cout = pltpu.make_async_copy(ot, o_hbm.at[b, :, pl.ds(r0, th), :],
-                                 sems.at[2])
+                                 sems.at[3 * nplanes if direct else 2])
     cout.start()
     cout.wait()
 
@@ -361,6 +486,57 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
         ]
         ring = 3                                # base + two rotations
 
+    # Direct NHWC mode (gray frames whose width is already a lane multiple
+    # — every padded production shape: 1920, 1280, 3840, 256...): DMA the
+    # model's output planes straight from HBM with 8-aligned row-window
+    # copies and handle borders in-kernel (circular rotates + masks,
+    # explicit zeroing of out-of-image halo rows). This deletes the whole
+    # caller-side prep chain below — the plane concat, the f32 residual
+    # copy, two (2+6, 2+pad) pads and the NHWC->NCHW transposes, ~12 GB of
+    # HBM traffic per production b128 1080p dispatch
+    # (docs/hlo_attribution.json) — leaving the kernel's own ~45 MB/frame.
+    if _DIRECT and ch == 1 and wd % 128 == 0 and h % th == 0:
+        wpd = wd
+        kwargs = {}
+        if wpd > 2048:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024)
+        hbm_in = [y_full[..., 0].astype(jnp.float32)] + [
+            p[..., 0].astype(cdt) for p in planes]
+        out = pl.pallas_call(
+            functools.partial(_kernel, th=th, height=h, width=wd, wp=wpd,
+                              w=w, pack=pack, groups=tuple(groups), cdt=cdt,
+                              depthwise=depthwise, ch=ch, nplanes=nplanes,
+                              fast=not interpret and _FAST, direct=True),
+            grid=(bsz, h // th),
+            in_specs=(
+                [pl.BlockSpec(memory_space=pl.ANY)] * nplanes + [
+                    pl.BlockSpec((w, 9 * nplanes), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM),         # w1t
+                    pl.BlockSpec((w, 1), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM),         # b1
+                    *head_specs,
+                    pl.BlockSpec((w, ch), lambda b, i: (0, 0),
+                                 memory_space=pltpu.VMEM),         # w3
+                    pl.BlockSpec((ch, 1), lambda b, i: (0, 0),
+                                 memory_space=pltpu.SMEM),         # b3
+                ]),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((bsz, ch, h, wpd), cdt),
+            scratch_shapes=[
+                pltpu.VMEM((th + 16, wpd), jnp.float32),           # ztf
+                pltpu.VMEM((nplanes - 1, th + 16, wpd), cdt),      # zt
+                pltpu.VMEM((nplanes, 3, th + 16, wpd), cdt),       # zrm
+                pltpu.VMEM((ring, 3, w, wpd),
+                           jnp.float32 if depthwise_mode else cdt),  # z1m
+                pltpu.VMEM((ch, th, wpd), cdt),                    # ot
+                pltpu.SemaphoreType.DMA((3 * nplanes + 1,)),
+            ],
+            interpret=interpret,
+            **kwargs,
+        )(*hbm_in, w1t, b1, *head_in, w3, b3)
+        return out.transpose(0, 2, 3, 1)
+
     # the DMA engine requires minor-dim extents to be multiples of 128
     # whenever another dim of the same array is sliced -> pad all three
     # HBM-resident tensors' widths up front (1080p/720p/256^2 need none)
@@ -387,7 +563,7 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
         functools.partial(_kernel, th=th, height=h, width=wd, wp=wp, w=w,
                           pack=pack, groups=tuple(groups), cdt=cdt,
                           depthwise=depthwise, ch=ch, nplanes=nplanes,
-                          fast=not interpret and _FAST),
+                          fast=not interpret and _FAST, direct=False),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # zp

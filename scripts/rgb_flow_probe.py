@@ -45,11 +45,15 @@ def measure(eng, batch, seconds=6.0):
         out = fn(eng.variables, f1, f2)
         iters += 1
         if iters % 4 == 0:
+            # the force IS the sync point: take t_end here rather than
+            # re-forcing after the loop (that extra ~31 ms D2H round trip
+            # inflated short windows; ADVICE r2). Headline numbers should
+            # still come from the marginal-slope line printed in main().
             force(out)
-            if time.perf_counter() - t0 >= seconds:
+            t_end = time.perf_counter()
+            if t_end - t0 >= seconds:
                 break
-    force(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    return (t_end - t0) / iters * 1e3
 
 
 def main():

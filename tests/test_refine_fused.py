@@ -247,3 +247,66 @@ def test_engine_forced_pallas_unet_on_cpu(rng):
     d = np.abs(a - b)
     assert float((d <= 1).mean()) > 0.999, float((d <= 1).mean())
     assert int(d.max()) <= 3, int(d.max())
+
+
+# ---- direct NHWC mode (gray, lane-multiple width: no caller prep chain) ----
+
+def test_interpret_direct_multi_tile(rng):
+    # wd=128 routes to the direct NHWC path; h=48 => 3 tiles on th=16,
+    # exercising top/body/bottom halo DMAs and the border-row zeroing
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8,
+                                  residual=True), 48, 128)
+
+
+def test_interpret_direct_w64_tap_packing(rng):
+    # production head width through the direct path (pack-2 conv2 with
+    # circular-rotate taps + wrap masks)
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=64),
+                 32, 128, batch=1)
+
+
+def test_interpret_direct_th8(rng):
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 40, 128)
+
+
+def test_interpret_direct_depthwise(rng):
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=16,
+                                  refine_depthwise=True), 32, 128, batch=1)
+
+
+def test_interpret_direct_wide(rng):
+    # two lane groups (wd=256): the circular wrap masks only touch the
+    # true frame edge lanes (0 and wd-1), not the 128-lane seam
+    with jax.default_device(CPU):
+        _compare(rng, ModelConfig(space_to_depth=2, refine_width=8), 32, 256,
+                 batch=1)
+
+
+def test_interpret_direct_flow_planes(rng):
+    """Flow head (5 planes) through the direct path at wd=128."""
+    with jax.default_device(CPU):
+        cfg = ModelConfig(arch="flow", base_width=4, refine_width=8,
+                          max_flow=8)
+        model = build_model(cfg, jnp.bfloat16)
+        b, h, w = 2, 32, 128
+        f1 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        f2 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        variables = jax.jit(lambda a, c: model.init(
+            jax.random.key(0), a, c, train=False))(f1, f2)
+        g0 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        g1 = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)), jnp.float32)
+        out = 0.5 * (g0 + g1)
+        ref = jax.jit(lambda v: model.apply(v, out, g0, g1, f1, f2,
+                                            method="refine"))(variables)
+        p = variables["params"]
+        fused = refine_head_fused(out, (g0, g1, f1, f2), p["refine1"],
+                                  p["refine2"], p["refine_out"],
+                                  interpret=True)
+        a = np.asarray(fused, np.float32)
+        r = np.asarray(ref.astype(jnp.bfloat16), np.float32)
+        np.testing.assert_allclose(a, r, atol=1.2e-2)
+        assert float((a == r).mean()) > 0.99
