@@ -79,10 +79,10 @@ _TH = 16
 _FAST = True
 
 # direct NHWC mode switch (no caller prep chain); see refine_head_fused.
-# OFF until the compiled path passes the TPU parity probe
-# (scripts/refine_direct_probe.py) — interpret parity alone is not enough
-# (CLAUDE.md Mosaic gotcha).
-_DIRECT = False
+# TPU-validated bit-identical to the legacy prep-chain path (flow 5-plane
+# w16 b2 @128x128: max diff 0 vs legacy, scripts/refine_direct_probe.py);
+# scripts/refine_direct_ab.py A/Bs the two lowerings in-process.
+_DIRECT = True
 
 
 def _tile_h(h: int) -> int:

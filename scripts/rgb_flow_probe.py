@@ -60,9 +60,15 @@ def main():
     cfg = ModelConfig(arch="flow", channels=3, base_width=32, flow_scale=4,
                       refine_width=16)
     print(f"device: {jax.devices()[0].platform}; RGB flow fs4+r16 @{H}x{W}")
-    for impl in ("pallas", "auto"):
+    # (impl, max_dispatch_batch): the mb8 arms compile ONE b8 program and
+    # loop it — the production-batch route around the compile-helper wall
+    # (VERDICT r2 task 2: split-jit + microbatch combined).
+    for impl, mb in (("pallas", None), ("auto", None), ("auto", 8),
+                     ("pallas", 8)):
         eng = InterpolationEngine.random_init(cfg, seed=7)
         eng.sampler_impl = impl
+        eng.max_dispatch_batch = mb
+        impl = impl + (f"+mb{mb}" if mb else "")
         per = {}
         for b in BATCHES:
             try:
