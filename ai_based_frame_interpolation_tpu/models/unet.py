@@ -38,7 +38,13 @@ Dtype = Any
 # low-resolution 4-phase conv (ops/polyphase.py): exact same math, no
 # full-res upsampled intermediate, 4x the conv's MXU N width. Module-level
 # so A/B scripts can flip it in-process (scripts/resize_ab.py pattern).
-UP_POLYPHASE = True
+# DEFAULT OFF by measurement (scripts/polyphase_ab.py, production 1080p
+# b64): 167.4 vs 269.7 mid/s for the lerp chain (-38%) — the full-res
+# depth-to-space shuffle + split skip/phase convs + border corrections eat
+# the traffic savings, the same failure mode as core_pack and the tower
+# conv-then-slice restructure (docs/PERF.md). Output parity: max 1 uint8
+# LSB vs the lerp path.
+UP_POLYPHASE = False
 
 
 def space_to_depth(x: jax.Array, r: int) -> jax.Array:

@@ -156,6 +156,14 @@ def main(argv=None):
                         "lane-pads thin channels to 128 anyway, and it "
                         "trains to full parity quality, SSIM 0.901; "
                         "only applies when --s2d > 1)")
+    p.add_argument("--upsample", default="half_pixel",
+                   choices=("half_pixel", "align_corners"),
+                   help="decoder upsample grid. half_pixel (default) is "
+                        "+8.1%% over align_corners at the production "
+                        "config (same-process A/B, scripts/polyphase_ab.py"
+                        ") and quality-equal by trained A/B "
+                        "(docs/QUALITY.md section 6); align_corners = "
+                        "torch reference parity semantics")
     p.add_argument("--factor", type=int, default=2,
                    help="interpolation factor (power of two): 2 or 4")
     p.add_argument("--arch", default="unet",
@@ -234,6 +242,7 @@ def main(argv=None):
                     space_to_depth=1 if is_flow else args.s2d,
                     flow_scale=args.flow_scale if is_flow else 1,
                     warp_impl=args.warp_impl, max_flow=args.max_flow,
+                    upsample=args.upsample,
                     refine_width=args.refine_width
                     if (args.s2d > 1 or is_flow) else 0))
     engine.sampler_impl = args.sampler_impl
@@ -339,6 +348,7 @@ def main(argv=None):
                    "flow_scale": engine.cfg.flow_scale,
                    "refine_width": engine.cfg.refine_width,
                    "base_width": engine.cfg.base_width,
+                   "upsample": engine.cfg.upsample,
                    "core_pack": args.core_pack,
                    "computed_midpoints_per_sec": round(mid_fps, 2),
                    "batch_errors": batch_errors or None,
