@@ -12,6 +12,7 @@ route, in ONE process (CLAUDE.md finding 10: session throughput varies).
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/rgb_flow_probe.py
 """
 
+import argparse
 import time
 
 import jax
@@ -24,8 +25,13 @@ from ai_based_frame_interpolation_tpu.infer.engine import InterpolationEngine
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-H, W = 1080, 1920
-BATCHES = (8, 16, 32)
+_args = argparse.ArgumentParser()
+_args.add_argument("--height", type=int, default=1080)
+_args.add_argument("--width", type=int, default=1920)
+_args.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
+_ns = _args.parse_args()
+H, W = _ns.height, _ns.width
+BATCHES = tuple(_ns.batches)
 
 
 def measure(eng, batch, seconds=6.0):
