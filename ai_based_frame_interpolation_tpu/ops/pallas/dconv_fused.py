@@ -118,10 +118,10 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_hbm, xt, z1m, ot, sems,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
     edge = width == wp      # no padded lanes -> circular wraps need masks
 
-    def conv_row(w_ref, b_ref, rows3, do_relu):
+    def conv_row(w_ref, b_ref, rhs, do_relu):
         """One output row: 3 MXU passes (kx classes, ky-packed contraction)
-        with the two off-center partial sums lane-rolled into place."""
-        rhs = jnp.concatenate(rows3, axis=0)               # (3*cin', wp)
+        with the two off-center partial sums lane-rolled into place.
+        ``rhs`` is the (3*cin', wp) stack of the 3 ky input rows."""
         acc = None
         for kx in range(3):
             d = jax.lax.dot_general(
@@ -141,9 +141,11 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_hbm, xt, z1m, ot, sems,
         return jnp.where(lane_i < width, out, jnp.zeros_like(out))
 
     def fill(r):
-        """z1 row r (mid, wp) into ring slot (r + 1) % 3."""
-        row = conv_row(w1_ref, b1_ref, [xt[2 + r - 1 + ky]
-                                        for ky in range(3)], True)
+        """z1 row r (mid, wp) into ring slot (r + 1) % 3. The 3 ky rows
+        are ADJACENT in xt, so the contraction stack is a contiguous
+        slice + leading-dim collapse (no concat copy)."""
+        rhs = xt[pl.ds(2 + r - 1, 3)].reshape(3 * cin, wp)
+        row = conv_row(w1_ref, b1_ref, rhs, True)
         fr = r0 + r
         ok = (fr >= 0) & (fr < height)
         z1m[(r + 1) % 3] = jnp.where(ok, row, jnp.zeros_like(row))
@@ -152,8 +154,9 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_hbm, xt, z1m, ot, sems,
     fill(0)
     for t in range(th):
         fill(t + 1)
-        ot[t] = conv_row(w2_ref, b2_ref,
-                         [z1m[(t + ky) % 3] for ky in range(3)], relu2)
+        rhs2 = jnp.concatenate([z1m[(t + ky) % 3] for ky in range(3)],
+                               axis=0)                     # (3*mid, wp)
+        ot[t] = conv_row(w2_ref, b2_ref, rhs2, relu2)
 
     out_dma = pltpu.make_async_copy(
         ot, o_hbm.at[b, pl.ds(r0, th), :, :], sems.at[3])

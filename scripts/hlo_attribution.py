@@ -38,6 +38,9 @@ def main(argv=None):
     p.add_argument("--arch", default="unet")
     p.add_argument("--base-width", type=int, default=64)
     p.add_argument("--factor", type=int, default=2)
+    p.add_argument("--upsample", default="half_pixel",
+                   help="decoder upsample grid; default matches bench.py's "
+                        "production default")
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", default="docs/hlo_attribution.json")
     p.add_argument("--measured-ms", type=float, default=0.0,
@@ -60,7 +63,8 @@ def main(argv=None):
     engine = InterpolationEngine.random_init(
         ModelConfig(arch=args.arch, channels=args.channels,
                     base_width=args.base_width, space_to_depth=args.s2d,
-                    refine_width=args.refine_width))
+                    refine_width=args.refine_width,
+                    upsample=args.upsample))
     depth = int(math.log2(args.factor))
     fn = engine._pair_fn(args.factor - 1, depth)
     fn = getattr(fn, "_jitted", fn)
