@@ -140,23 +140,17 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_hbm, xt, z1m, ot, sems,
         # into the next conv's off-center taps via the roll)
         return jnp.where(lane_i < width, out, jnp.zeros_like(out))
 
-    def fill(r):
-        """z1 row r (mid, wp) into ring slot (r + 1) % 3. The 3 ky rows
-        are ADJACENT in xt, so the contraction stack is a contiguous
-        slice + leading-dim collapse (no concat copy)."""
+    # all th+2 z1 rows of the tile, contiguous: both convs' contraction
+    # stacks are then slice + leading-dim collapse (no concat copies)
+    for r in range(-1, th + 1):
         rhs = xt[pl.ds(2 + r - 1, 3)].reshape(3 * cin, wp)
         row = conv_row(w1_ref, b1_ref, rhs, True)
         fr = r0 + r
         ok = (fr >= 0) & (fr < height)
-        z1m[(r + 1) % 3] = jnp.where(ok, row, jnp.zeros_like(row))
-
-    fill(-1)
-    fill(0)
+        z1m[r + 1] = jnp.where(ok, row, jnp.zeros_like(row))
     for t in range(th):
-        fill(t + 1)
-        rhs2 = jnp.concatenate([z1m[(t + ky) % 3] for ky in range(3)],
-                               axis=0)                     # (3*mid, wp)
-        ot[t] = conv_row(w2_ref, b2_ref, rhs2, relu2)
+        ot[t] = conv_row(w2_ref, b2_ref,
+                         z1m[pl.ds(t, 3)].reshape(3 * mid, wp), relu2)
 
     out_dma = pltpu.make_async_copy(
         ot, o_hbm.at[b, pl.ds(r0, th), :, :], sems.at[3])
@@ -207,7 +201,7 @@ def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
     b2c = jnp.asarray(b2).reshape(cout, 1).astype(cdt)
 
     kwargs = {}
-    vmem_need = (th + 4) * cin * wp * 2 + th * cout * wp * 2
+    vmem_need = ((th + 4) * cin + (th + 2) * mid + th * cout) * wp * 2
     if vmem_need > 12 * 1024 * 1024:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
@@ -230,7 +224,7 @@ def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
         out_shape=jax.ShapeDtypeStruct((bsz, h, cout, wp), cdt),
         scratch_shapes=[
             pltpu.VMEM((th + 4, cin, wp), cdt),                 # xt
-            pltpu.VMEM((3, mid, wp), cdt),                      # z1m ring
+            pltpu.VMEM((th + 2, mid, wp), cdt),                 # z1 rows
             pltpu.VMEM((th, cout, wp), cdt),                    # ot
             pltpu.SemaphoreType.DMA((4,)),
         ],
