@@ -69,15 +69,15 @@ def _roll_f32(x: jax.Array, kx: int, wp: int):
 
 
 def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_hbm, xt, z1m, ot, sems,
-            *, th: int, height: int, width: int, wp: int, cin: int,
-            mid: int, cout: int, cdt, relu2: bool):
+            *, th: int, height: int, pad_h: int, width: int, wp: int,
+            cin: int, mid: int, cout: int, cdt, relu2: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
     i = pl.program_id(1)
     r0 = i * th
-    ntiles = height // th
+    ntiles = pad_h // th
 
     # frame rows [r0-2, r0+th+2) into xt[0:th+4]: slicing the third-minor
     # (H) dim needs no 8-alignment — each row is a whole (C, W) tile block.
@@ -160,11 +160,12 @@ def _kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_hbm, xt, z1m, ot, sems,
 
 @functools.partial(jax.jit,
                    static_argnames=("relu2", "compute_dtype", "interpret",
-                                    "image_width"))
+                                    "image_width", "image_height"))
 def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
                       w2: jax.Array, b2: jax.Array, relu2: bool = True,
                       compute_dtype=jnp.bfloat16,
                       image_width: int | None = None,
+                      image_height: int | None = None,
                       interpret: bool = False) -> jax.Array:
     """relu(conv3x3(relu(conv3x3(x) + b1)) + b2), row-major transposed.
 
@@ -177,6 +178,10 @@ def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
     image_width: the TRUE image width (SAME-conv border column); defaults
          to the full lane width. The kernel zeroes every lane >= it after
          each bias+relu so padded lanes never feed the off-center taps.
+    image_height: the TRUE image height; defaults to H. Lets odd-height
+         core levels (68, 34...) run by zero-padding rows up to an
+         8-multiple: rows >= it are masked to zero inside the kernel and
+         the caller slices them off the output.
     returns [B, H, cout, W] in ``compute_dtype``.
     """
     import jax.experimental.pallas as pl
@@ -185,6 +190,7 @@ def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
     cdt = compute_dtype
     bsz, h, cin, wp = x.shape
     wd = int(image_width) if image_width is not None else wp
+    hd = int(image_height) if image_height is not None else h
     mid, cout = int(w1.shape[-1]), int(w2.shape[-1])
     th = _tile_h(h)
 
@@ -206,8 +212,9 @@ def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, height=h, width=wd, wp=wp,
-                          cin=cin, mid=mid, cout=cout, cdt=cdt, relu2=relu2),
+        functools.partial(_kernel, th=th, height=hd, pad_h=h, width=wd,
+                          wp=wp, cin=cin, mid=mid, cout=cout, cdt=cdt,
+                          relu2=relu2),
         grid=(bsz, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # x

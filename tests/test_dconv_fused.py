@@ -90,3 +90,23 @@ def test_border_zero_padding_semantics():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=0.02, rtol=0.05)
+
+
+def test_odd_image_height_row_padding():
+    """True height 20 padded to 24 rows: masked rows must reproduce the
+    NHWC SAME-conv result exactly (down2/up2-style odd core levels)."""
+    h, hp, w, wp, cin, mid, cout = 20, 24, 48, 128, 16, 8, 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, cin, mid)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(mid,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, mid, cout)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    want = double_conv_reference(x, w1, b1, w2, b2)
+    xt = jnp.pad(_to_rowmajor(x, wp), ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    got = _from_rowmajor(
+        double_conv_fused(xt, w1, b1, w2, b2, image_width=w,
+                          image_height=h, interpret=True), w)[:, :h]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.25, rtol=0.05)
