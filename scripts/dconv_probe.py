@@ -35,12 +35,14 @@ from ai_based_frame_interpolation_tpu.ops.pallas.dconv_fused import (  # noqa: E
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# (name, h, w, wp, cin, mid, cout) — s2d4 core blocks at 1088x1920
+# (name, h, hp, w, wp, cin, mid, cout) — s2d4 core blocks at 1088x1920
+# (hp > h = odd-height level zero-row-padded to an 8-multiple)
 SHAPES = [
-    ("inc",   272, 480, 512, 32, 64, 64),
-    ("down1", 136, 240, 256, 64, 128, 128),
-    ("up3",   136, 240, 256, 256, 128, 64),
-    ("up4",   272, 480, 512, 128, 64, 64),
+    ("inc",   272, 272, 480, 512, 32, 64, 64),
+    ("down1", 136, 136, 240, 256, 64, 128, 128),
+    ("down2", 68, 72, 120, 128, 128, 256, 256),
+    ("up3",   136, 136, 240, 256, 256, 128, 64),
+    ("up4",   272, 272, 480, 512, 128, 64, 64),
 ]
 
 
@@ -71,7 +73,7 @@ def main():
     print(f"device: {jax.devices()[0].platform}; batches {args.batches}")
 
     rng = np.random.default_rng(0)
-    for name, h, w, wp, cin, mid, cout in SHAPES:
+    for name, h, hp, w, wp, cin, mid, cout in SHAPES:
         w1 = jnp.asarray(rng.normal(size=(3, 3, cin, mid)) * 0.1, jnp.float32)
         b1 = jnp.asarray(rng.normal(size=(mid,)) * 0.1, jnp.float32)
         w2 = jnp.asarray(rng.normal(size=(3, 3, mid, cout)) * 0.1,
@@ -82,8 +84,9 @@ def main():
         def ref(v, w1=w1, b1=b1, w2=w2, b2=b2):
             return double_conv_reference(v, w1, b1, w2, b2)
 
-        def fused(v, w1=w1, b1=b1, w2=w2, b2=b2, w=w):
-            return double_conv_fused(v, w1, b1, w2, b2, image_width=w)
+        def fused(v, w1=w1, b1=b1, w2=w2, b2=b2, w=w, h=h):
+            return double_conv_fused(v, w1, b1, w2, b2, image_width=w,
+                                     image_height=h)
 
         per = {}
         for route in ("xla", "pallas"):
@@ -94,7 +97,7 @@ def main():
                                     jnp.bfloat16)
                     fn, fa = ref, (v,)
                 else:
-                    v = jnp.asarray(rng.normal(size=(b, h, cin, wp)),
+                    v = jnp.asarray(rng.normal(size=(b, hp, cin, wp)),
                                     jnp.bfloat16)
                     fn, fa = fused, (v,)
                 try:
