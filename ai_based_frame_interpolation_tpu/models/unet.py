@@ -147,6 +147,12 @@ class DoubleConv(nn.Module):
         if self.pack > 1 and not self.folded:
             raise ValueError("pack > 1 requires folded BatchNorm "
                              "(inference-only layout)")
+        if poly_low is not None and self.pack > 1:
+            # the fused up2+conv path builds its conv params directly and
+            # has no grouped-conv support; fail clearly instead of building
+            # wrong-channel weights (ADVICE round 3)
+            raise ValueError("poly_low (fused up2+conv) is incompatible "
+                             "with pack > 1")
         mid = self.mid_ch if self.mid_ch is not None else self.out_ch
         for i, ch in enumerate((mid, self.out_ch)):
             if i == 0 and poly_low is not None:

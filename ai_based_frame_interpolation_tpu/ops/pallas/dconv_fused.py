@@ -207,7 +207,8 @@ def double_conv_fused(x: jax.Array, w1: jax.Array, b1: jax.Array,
     b2c = jnp.asarray(b2).reshape(cout, 1).astype(cdt)
 
     kwargs = {}
-    vmem_need = ((th + 4) * cin + (th + 2) * mid + th * cout) * wp * 2
+    itemsize = jnp.dtype(cdt).itemsize
+    vmem_need = ((th + 4) * cin + (th + 2) * mid + th * cout) * wp * itemsize
     if vmem_need > 12 * 1024 * 1024:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024)

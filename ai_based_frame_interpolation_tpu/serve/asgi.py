@@ -62,10 +62,16 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
             "fps": Part("fps", None, None, str(fps).encode()),
         }
         try:
-            blob, fname = service.interpolate(parts)
+            payload, fname = service.interpolate(parts)
         except HTTPError as e:
             raise HTTPException(e.status, e.detail)
-        return Response(blob, media_type="video/mp4", headers={
+
+        def _stream():
+            with payload:
+                yield from payload.chunks()
+
+        return StreamingResponse(_stream(), media_type="video/mp4", headers={
+            "Content-Length": str(payload.size),
             "Content-Disposition": f'attachment; filename="{fname}"'})
 
     @app.post("/interpolate-video")

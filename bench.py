@@ -134,7 +134,9 @@ def find_batch_and_rate(engine, height, width, channels, candidates,
             last_err = e
             errors[batch] = f"{type(e).__name__}: {str(e)[:160]}"
             continue
-    raise RuntimeError(f"all batch sizes failed; last error: {last_err}")
+    err = RuntimeError(f"all batch sizes failed; last error: {last_err}")
+    err.batch_errors = errors  # keep per-batch reasons for self-diagnosis
+    raise err
 
 
 def main(argv=None):
@@ -295,7 +297,8 @@ def main(argv=None):
             and budget_left():
         def companion(cfg, channels, batches, label, split=None, mdb=None):
             if not budget_left():
-                return None
+                return {"error": "bench wall-clock budget exhausted",
+                        "config": label}
             try:
                 eng = InterpolationEngine.random_init(cfg)
                 if split is not None:
@@ -309,8 +312,13 @@ def main(argv=None):
                         "batch_errors": errs or None,
                         "computed_midpoints_per_sec": round(mid, 2),
                         "config": label}
-            except Exception:
-                return None
+            except Exception as e:
+                # never a bare None: a companion that can't measure must
+                # say why (round-3 VERDICT weak #2 — flow_quality came out
+                # null with no reason in the driver artifact)
+                return {"error": f"{type(e).__name__}: {str(e)[:300]}",
+                        "batch_errors": getattr(e, "batch_errors", None),
+                        "config": label}
 
         flow_flagship = companion(
             ModelConfig(arch="flow", base_width=32, flow_scale=4,

@@ -79,6 +79,9 @@ def main(argv=None):
     outs = {}
     for direct in (False, True):
         RF._DIRECT = direct
+        # the flag is read at trace time: without this, the second arm can
+        # silently reuse the first arm's jit lowering (ADVICE round 3)
+        jax.clear_caches()
         engine = InterpolationEngine.random_init(
             ModelConfig(channels=args.channels, space_to_depth=args.s2d,
                         refine_width=args.refine_width))
