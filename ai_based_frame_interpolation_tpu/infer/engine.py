@@ -59,11 +59,18 @@ class InterpolationEngine:
 
     def __init__(self, model: FrameInterpolationUNet, variables,
                  compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None,
-                 refine_impl: str = "auto", core_pack: int = 1):
+                 refine_impl: str = "auto", core_pack: int = 1,
+                 core_impl: str = "auto"):
         # refine_impl: "auto" = fused Pallas refinement head when eligible
         # (TPU, grayscale, refine_factor=1, single device); "xla" = always
         # the Flax/XLA branch. Same math either way (test_refine_fused.py).
         self.refine_impl = refine_impl
+        # core_impl: "auto" = transposed-layout Pallas U-Net core when
+        # eligible (models/core_t.py: TPU, folded, s2d unet at lane-friendly
+        # widths — 1080p/1440p/4K); "xla" = always the Flax NHWC forward;
+        # "pallas" forces the transposed core (interpret mode off-TPU, for
+        # tests). Same math either way (tests/test_core_t.py).
+        self.core_impl = core_impl
         # core_pack g > 1: run the unet-family core with g batch items
         # folded into channels (grouped convs, tiled folded weights — see
         # models.unet.pack_batch). Identical per-item math; removes XLA's
@@ -206,6 +213,23 @@ class InterpolationEngine:
                                    tile_params_packed(self.variables, g))
         return self._fn_cache[key]
 
+    def _core_t_ok(self, x) -> bool:
+        """Static eligibility for the transposed-layout Pallas core
+        (models/core_t.py): folded unet-family weights on one TPU at
+        lane-friendly geometry. Probe pedigree: docs/PERF.md round 4."""
+        impl = getattr(self, "core_impl", "auto")
+        if impl not in ("auto", "pallas") or self.mesh is not None:
+            return False
+        if impl != "pallas" and jax.devices()[0].platform != "tpu":
+            return False          # "pallas" forces (interpret mode off-TPU)
+        if self._use_pack(int(x.shape[0])):
+            return False
+        if isinstance(self.variables, dict) and self.variables.get("batch_stats"):
+            return False          # requires folded weights
+        from ..models import core_t
+
+        return core_t.eligible(self.cfg, int(x.shape[1]), int(x.shape[2]))
+
     def _forward(self, variables, x1, x2):
         model = self.model
         if self._use_pack(int(x1.shape[0])):
@@ -213,8 +237,16 @@ class InterpolationEngine:
         if self._fused_refine_ok(x1):
             from ..ops.pallas.refine_fused import refine_head_fused
 
-            y = model.apply(variables, x1, x2, train=False,
-                            skip_refine=True)
+            if self._core_t_ok(x1):
+                from ..models.core_t import forward_pre_refine
+
+                y = forward_pre_refine(
+                    variables["params"], x1, x2, self.cfg,
+                    self.compute_dtype,
+                    interpret=jax.devices()[0].platform != "tpu")
+            else:
+                y = model.apply(variables, x1, x2, train=False,
+                                skip_refine=True)
             p = variables["params"]
             interp = jax.devices()[0].platform != "tpu"
             if getattr(self.cfg, "refine_depthwise", False):
