@@ -46,7 +46,9 @@ for spec in "$@"; do
   name=${spec%%:*}
   flags=${spec#*:}
   ck="$WORK/ck_$name"
-  if ls "$WORK/eval_$name"/*.json >/dev/null 2>&1; then
+  # NOTE: test an explicit filename, not a glob — `set -f` above disables
+  # globbing, which silently broke the skip (arms re-ran every invocation)
+  if [ -e "$WORK/eval_$name/results.json" ]; then
     echo "== $name: already evaluated, skipping"
     continue
   fi
