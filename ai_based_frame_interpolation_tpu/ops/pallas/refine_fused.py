@@ -140,11 +140,12 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
     from jax.experimental.pallas import tpu as pltpu
 
     if direct:
-        # Direct NHWC mode (gray, 128-multiple width): inputs are the
-        # UNTRANSPOSED (B, H, W) frame/plane tensors straight from the
-        # model — no caller-side concat/pad/transpose chain at all. Plane 0
-        # (the f32 prediction) doubles as the residual base; its rows land
-        # in the f32 scratch ``ztf`` and are cast per-roll.
+        # Direct NHWC mode (gray or RGB, 128-multiple width): inputs are
+        # the UNTRANSPOSED (B, H, W) per-channel plane tensors straight
+        # from the model — no caller-side concat/pad/transpose chain at
+        # all. The first ``ch`` planes (the f32 prediction channels) double
+        # as the residual bases; their rows land in the f32 scratch
+        # ``ztf`` and are cast per-roll.
         nhb = len(args) - (15 if depthwise else 13)
         hbm_in = args[:nhb]
         args = args[nhb:]
@@ -179,7 +180,7 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
         # never reach an output.
         copies = []
         for p, src in enumerate(hbm_in):
-            dst = ztf if p == 0 else zt.at[p - 1]
+            dst = ztf.at[p] if p < ch else zt.at[p - ch]
             copies.append(pltpu.make_async_copy(
                 src.at[b, pl.ds(r0, th), :], dst.at[pl.ds(8, th), :],
                 sems.at[3 * p]))
@@ -213,14 +214,16 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
         # dead scratch no tap ever reads.
         @pl.when(i == 0)
         def _():
-            ztf[pl.ds(0, 8), :] = jnp.zeros((8, wp), ztf.dtype)
-            for p in range(nplanes - 1):
+            for c in range(ch):
+                ztf[c, pl.ds(0, 8), :] = jnp.zeros((8, wp), ztf.dtype)
+            for p in range(nplanes - ch):
                 zt[p, pl.ds(0, 8), :] = jnp.zeros((8, wp), zt.dtype)
 
         @pl.when(i == ntiles - 1)
         def _():
-            ztf[pl.ds(th + 8, 8), :] = jnp.zeros((8, wp), ztf.dtype)
-            for p in range(nplanes - 1):
+            for c in range(ch):
+                ztf[c, pl.ds(th + 8, 8), :] = jnp.zeros((8, wp), ztf.dtype)
+            for p in range(nplanes - ch):
                 zt[p, pl.ds(th + 8, 8), :] = jnp.zeros((8, wp), zt.dtype)
     else:
         # DMA slice extents on the second-minor dim must be 8-aligned:
@@ -244,8 +247,8 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
     # wrap lane(s) masked to zero (SAME-conv border semantics).
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
     for p in range(nplanes):
-        src = (ztf[...].astype(cdt) if direct and p == 0
-               else zt[p - 1 if direct else p])
+        src = (ztf[p].astype(cdt) if direct and p < ch
+               else zt[p - ch if direct else p])
         for kx in range(3):
             if direct:
                 rolled = _roll_lanes(src, (kx - 1) % wp, fast)
@@ -360,10 +363,10 @@ def _kernel(*args, th: int, height: int, width: int, wp: int, w: int,
                     preferred_element_type=jnp.float32)
             z2t = jax.nn.relu(acc.astype(cdt) + b2_ref[...])   # (w, W+2)
         def res_base(c):
-            # residual base row: in direct mode the prediction plane's f32
-            # scratch window doubles as the residual (frame row r0+t is
+            # residual base row: in direct mode the prediction channel's
+            # f32 scratch window doubles as the residual (frame row r0+t is
             # scratch row t+8); legacy reads the dedicated ygt tile
-            return (ztf[pl.ds(t + 8, 1), :] if direct
+            return (ztf[c, pl.ds(t + 8, 1), :] if direct
                     else ygt[c, pl.ds(t, 1), :])
 
         if fast:
@@ -486,23 +489,26 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
         ]
         ring = 3                                # base + two rotations
 
-    # Direct NHWC mode (gray frames whose width is already a lane multiple
-    # — every padded production shape: 1920, 1280, 3840, 256...): DMA the
-    # model's output planes straight from HBM with 8-aligned row-window
-    # copies and handle borders in-kernel (circular rotates + masks,
-    # explicit zeroing of out-of-image halo rows). This deletes the whole
-    # caller-side prep chain below — the plane concat, the f32 residual
-    # copy, two (2+6, 2+pad) pads and the NHWC->NCHW transposes, ~12 GB of
-    # HBM traffic per production b128 1080p dispatch
+    # Direct NHWC mode (gray/RGB frames whose width is already a lane
+    # multiple — every padded production shape: 1920, 1280, 3840, 256...):
+    # DMA the model's output planes straight from HBM with 8-aligned
+    # row-window copies and handle borders in-kernel (circular rotates +
+    # masks, explicit zeroing of out-of-image halo rows). This deletes the
+    # whole caller-side prep chain below — the plane concat, the f32
+    # residual copy, two (2+6, 2+pad) pads and the NHWC->NCHW transposes,
+    # ~12 GB of HBM traffic per production b128 1080p dispatch (gray;
+    # the RGB chain is 3x wider — round-3 VERDICT task 5)
     # (docs/hlo_attribution.json) — leaving the kernel's own ~45 MB/frame.
-    if _DIRECT and ch == 1 and wd % 128 == 0 and h % th == 0:
+    if _DIRECT and wd % 128 == 0 and h % th == 0:
         wpd = wd
         kwargs = {}
         if wpd > 2048:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024)
-        hbm_in = [y_full[..., 0].astype(jnp.float32)] + [
-            p[..., 0].astype(cdt) for p in planes]
+        # per-channel planes, plane-major channel-minor — the Flax concat
+        # channel order (pred_c0..c{ch-1}, f1_c0.., f2_c0..)
+        hbm_in = [y_full[..., c].astype(jnp.float32) for c in range(ch)] + [
+            p[..., c].astype(cdt) for p in planes for c in range(ch)]
         out = pl.pallas_call(
             functools.partial(_kernel, th=th, height=h, width=wd, wp=wpd,
                               w=w, pack=pack, groups=tuple(groups), cdt=cdt,
@@ -524,8 +530,8 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((bsz, ch, h, wpd), cdt),
             scratch_shapes=[
-                pltpu.VMEM((th + 16, wpd), jnp.float32),           # ztf
-                pltpu.VMEM((nplanes - 1, th + 16, wpd), cdt),      # zt
+                pltpu.VMEM((ch, th + 16, wpd), jnp.float32),       # ztf
+                pltpu.VMEM((nplanes - ch, th + 16, wpd), cdt),     # zt
                 pltpu.VMEM((nplanes, 3, th + 16, wpd), cdt),       # zrm
                 pltpu.VMEM((ring, 3, w, wpd),
                            jnp.float32 if depthwise_mode else cdt),  # z1m

@@ -42,20 +42,21 @@ def xla_ref(y, planes, p1, p2, p3):
     return (y + d + p3["bias"].astype(jnp.float32)).astype(jnp.bfloat16)
 
 
-def case(name, b, h, wd, nplanes, w):
+def case(name, b, h, wd, nplanes, w, ch=1):
     rng = np.random.default_rng(0)
-    y = jnp.asarray(rng.uniform(-1, 1, (b, h, wd, 1)), jnp.float32)
-    planes = tuple(jnp.asarray(rng.uniform(-1, 1, (b, h, wd, 1)),
+    cin = nplanes * ch
+    y = jnp.asarray(rng.uniform(-1, 1, (b, h, wd, ch)), jnp.float32)
+    planes = tuple(jnp.asarray(rng.uniform(-1, 1, (b, h, wd, ch)),
                                jnp.float32) for _ in range(nplanes - 1))
     p1 = {"kernel": jnp.asarray(
-        rng.normal(size=(3, 3, nplanes, w)) * 0.2, jnp.float32),
+        rng.normal(size=(3, 3, cin, w)) * 0.2, jnp.float32),
         "bias": jnp.asarray(rng.normal(size=(w,)) * 0.01, jnp.float32)}
     p2 = {"kernel": jnp.asarray(
         rng.normal(size=(3, 3, w, w)) * 0.2, jnp.float32),
         "bias": jnp.asarray(rng.normal(size=(w,)) * 0.01, jnp.float32)}
     p3 = {"kernel": jnp.asarray(
-        rng.normal(size=(1, 1, w, 1)) * 0.2, jnp.float32),
-        "bias": jnp.asarray(rng.normal(size=(1,)) * 0.01, jnp.float32)}
+        rng.normal(size=(1, 1, w, ch)) * 0.2, jnp.float32),
+        "bias": jnp.asarray(rng.normal(size=(ch,)) * 0.01, jnp.float32)}
 
     t0 = time.time()
     got = refine_head_fused(y, planes, p1, p2, p3)
@@ -76,4 +77,6 @@ if __name__ == "__main__":
     case("evalshape-flow5-w16 b2 128x128", 2, 128, 128, 5, 16)
     case("evalshape-unet3-w64 b2 128x128", 2, 128, 128, 3, 64)
     case("1080p-unet3-w64 b2", 2, 1088, 1920, 3, 64)
+    case("rgb-128x128-unet3-w64 b2", 2, 128, 128, 3, 64, ch=3)
+    case("rgb-1080p-unet3-w64 b2", 2, 1088, 1920, 3, 64, ch=3)
     print("ALL OK", flush=True)

@@ -310,3 +310,17 @@ def test_interpret_direct_flow_planes(rng):
         r = np.asarray(ref.astype(jnp.bfloat16), np.float32)
         np.testing.assert_allclose(a, r, atol=1.2e-2)
         assert float((a == r).mean()) > 0.99
+
+
+def test_interpret_direct_rgb(rng):
+    # RGB through the direct path (round-4: per-channel plane DMAs, ch
+    # f32 prediction scratch planes as residual bases)
+    _compare(rng, ModelConfig(space_to_depth=2, refine_width=8,
+                              channels=3, residual=True), 48, 128,
+             batch=1, channels=3)
+
+
+def test_interpret_direct_rgb_depthwise(rng):
+    _compare(rng, ModelConfig(space_to_depth=2, refine_width=8,
+                              channels=3, refine_depthwise=True), 32, 128,
+             batch=1, channels=3)
