@@ -121,9 +121,31 @@ def _stem_t(frame: jax.Array, r: int, wp: int, cdt) -> jax.Array:
     return x
 
 
+# Pool lowering on [B,H,C,W]. TPU probe (scripts/pool_t_probe.py, pool1 =
+# the 272x64x512 production shape, ms/item marginal): stride-2 lane
+# slicing ("slice") 0.352 — it lowers to pad-2 gather fusions, 11.4 GB of
+# the b64 core_t dispatch per the round-4 attribution; selection-matmul
+# ("matmul") 0.183; XLA's native "reduce_window" **0.030** — within ~2x of
+# the read+write floor. Default: reduce_window.
+POOL_IMPL = "reduce_window"
+
+
 def _pool2_t(x: jax.Array) -> jax.Array:
     """2x2 max-pool on [B, H, C, W]. Inputs are post-relu (>= 0), so the
     zero lane padding survives the max unchanged."""
+    if POOL_IMPL == "reduce_window":
+        return jax.lax.reduce_window(
+            x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
+            (1, 2, 1, 2), (1, 2, 1, 2), "VALID")
+    if POOL_IMPL == "matmul":
+        wp = x.shape[-1]
+        sel = np.zeros((2, wp, wp // 2), np.float32)
+        sel[0, np.arange(0, wp, 2), np.arange(wp // 2)] = 1.0
+        sel[1, np.arange(1, wp, 2), np.arange(wp // 2)] = 1.0
+        a = jnp.maximum(x[:, 0::2], x[:, 1::2])     # H pool: major-dim slices
+        e = jnp.einsum("bhcw,wv->bhcv", a, jnp.asarray(sel[0], x.dtype))
+        o = jnp.einsum("bhcw,wv->bhcv", a, jnp.asarray(sel[1], x.dtype))
+        return jnp.maximum(e, o)
     a = jnp.maximum(x[:, 0::2, :, 0::2], x[:, 0::2, :, 1::2])
     b = jnp.maximum(x[:, 1::2, :, 0::2], x[:, 1::2, :, 1::2])
     return jnp.maximum(a, b)

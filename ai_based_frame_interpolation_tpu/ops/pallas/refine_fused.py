@@ -82,7 +82,21 @@ _FAST = True
 # TPU-validated bit-identical to the legacy prep-chain path (flow 5-plane
 # w16 b2 @128x128: max diff 0 vs legacy, scripts/refine_direct_probe.py);
 # scripts/refine_direct_ab.py A/Bs the two lowerings in-process.
-_DIRECT = True
+# Direct NHWC mode: DEMOTED to default-off (round 4). Two findings:
+# (1) the round-3 "+1.7%" was a jit-cache artifact (the A/B flipped this
+# flag without clearing the module-level jit trace cache — ADVICE round 3);
+# with per-arm jax.clear_caches() the re-measurement is -1.1% gray /
+# -3.7% RGB at production 1080p (scripts/refine_direct_ab.py) — the 3x
+# per-plane DMA count beats the prep-chain saving it was built to remove.
+# (2) compiled direct mode MISCOMPUTES at small widths (wd=128: ~21% of
+# pixels off by up to 0.94; wd=256: 0.14% off by 1-2 bf16 ulp; wd>=512
+# bit-identical) — deterministic, present in the round-3 kernel too
+# (/tmp/flow5_diag bisect 2026-08-21), so the round-3 "TPU-validated
+# bit-identical" record was wrong and every 128px eval that ran with
+# direct on is re-run in round 4. The _DIRECT_MIN_WD guard keeps the
+# mode usable for future investigation at the widths where it is sound.
+_DIRECT = False
+_DIRECT_MIN_WD = 512
 
 
 def _tile_h(h: int) -> int:
@@ -499,7 +513,7 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
     # ~12 GB of HBM traffic per production b128 1080p dispatch (gray;
     # the RGB chain is 3x wider — round-3 VERDICT task 5)
     # (docs/hlo_attribution.json) — leaving the kernel's own ~45 MB/frame.
-    if _DIRECT and wd % 128 == 0 and h % th == 0:
+    if _DIRECT and wd % 128 == 0 and wd >= _DIRECT_MIN_WD and h % th == 0:
         wpd = wd
         kwargs = {}
         if wpd > 2048:

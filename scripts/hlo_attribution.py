@@ -42,6 +42,9 @@ def main(argv=None):
                    help="decoder upsample grid; default matches bench.py's "
                         "production default")
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--core-impl", default="auto",
+                   help="engine core routing: auto (transposed Pallas core "
+                        "when eligible, round 4) | xla")
     p.add_argument("--out", default="docs/hlo_attribution.json")
     p.add_argument("--measured-ms", type=float, default=0.0,
                    help="measured ms/dispatch (from bench.py) to report "
@@ -65,6 +68,7 @@ def main(argv=None):
                     base_width=args.base_width, space_to_depth=args.s2d,
                     refine_width=args.refine_width,
                     upsample=args.upsample))
+    engine.core_impl = args.core_impl
     depth = int(math.log2(args.factor))
     fn = engine._pair_fn(args.factor - 1, depth)
     fn = getattr(fn, "_jitted", fn)
