@@ -252,16 +252,28 @@ def forward_pre_refine(params: dict, x1: jax.Array, x2: jax.Array,
     y = dc_nhwc(u["up2"]["conv"],
                 jnp.concatenate([s2n, up_nhwc(y).astype(s2n.dtype)], axis=-1))
 
-    # relayout back; decoder transposed segment (levels 1-0)
+    # relayout back; decoder transposed segment (levels 1-0). The fused
+    # up-block kernel (upsample + concat + conv pair in one program) is
+    # half-pixel only — its in-kernel H taps are parity-static; the
+    # align_corners grid keeps the composed path.
+    from ..ops.pallas.dconv_fused import up_double_conv_fused
+
+    def up_level(name, skip, low, w_true, h_true):
+        p = u[name]["conv"]
+        if not grid_ac and name in PALLAS_LEVELS:
+            return up_double_conv_fused(
+                skip, low, p["conv1"]["kernel"], p["conv1"]["bias"],
+                p["conv2"]["kernel"], p["conv2"]["bias"],
+                image_width=w_true, compute_dtype=cdt, interpret=interpret)
+        yu = _upsample2x_t(low, w_true // 2, grid_ac)
+        return _dconv_t(name, p,
+                        jnp.concatenate([skip, yu.astype(skip.dtype)],
+                                        axis=2),
+                        w_true, h_true, cdt, interpret)
+
     yt = _to_t(y, _ceil128(w2))
-    yu = _upsample2x_t(yt, w2, grid_ac)
-    y = _dconv_t("up3", u["up3"]["conv"],
-                 jnp.concatenate([s1, yu.astype(s1.dtype)], axis=2),
-                 w0 // 2, h0 // 2, cdt, interpret)
-    yu = _upsample2x_t(y, w0 // 2, grid_ac)
-    y = _dconv_t("up4", u["up4"]["conv"],
-                 jnp.concatenate([s0, yu.astype(s0.dtype)], axis=2),
-                 w0, h0, cdt, interpret)
+    y = up_level("up3", s1, yt, w0 // 2, h0 // 2)
+    y = up_level("up4", s0, y, w0, h0)
 
     # outc: contracting C lands the result NHWC for free (lhs free dims
     # (h, w) + rhs free dim (cout) = [B, H0, W0p, cout])

@@ -110,3 +110,42 @@ def test_odd_image_height_row_padding():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=0.25, rtol=0.05)
+
+
+def test_up_block_parity_interpret():
+    """Fused up-block == upsample2x_half_pixel + concat + conv pair."""
+    import jax
+
+    from ai_based_frame_interpolation_tpu.ops.pallas.dconv_fused import (
+        up_double_conv_fused)
+    from ai_based_frame_interpolation_tpu.ops.resize import (
+        upsample2x_half_pixel)
+
+    rng = np.random.default_rng(7)
+    b, h, w_true, wp, cs, cu, mid, cout = 2, 32, 120, 128, 16, 8, 16, 8
+    skip_n = jnp.asarray(rng.normal(size=(b, h, w_true, cs)), jnp.bfloat16)
+    low_n = jnp.asarray(rng.normal(size=(b, h // 2, w_true // 2, cu)),
+                        jnp.bfloat16)
+    w1 = jnp.asarray(rng.normal(size=(3, 3, cs + cu, mid)) * 0.2,
+                     jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(mid,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(3, 3, mid, cout)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+
+    up = upsample2x_half_pixel(low_n)
+    want = double_conv_reference(
+        jnp.concatenate([skip_n, up.astype(skip_n.dtype)], axis=-1),
+        w1, b1, w2, b2)
+
+    def to_t(x, wpad):
+        xt = jnp.transpose(x, (0, 1, 3, 2))
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, 0),
+                            (0, wpad - xt.shape[-1])))
+
+    got_t = up_double_conv_fused(to_t(skip_n, wp), to_t(low_n, wp // 2),
+                                 w1, b1, w2, b2, image_width=w_true,
+                                 interpret=True)
+    got = jnp.transpose(got_t[..., :w_true], (0, 1, 3, 2))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.25, rtol=0.05)
