@@ -67,7 +67,7 @@ class InterpolationEngine:
         self.refine_impl = refine_impl
         # core_impl: "auto" = transposed-layout Pallas U-Net core when
         # eligible (models/core_t.py: TPU, folded, s2d unet at lane-friendly
-        # widths — 1080p/1440p/4K); "xla" = always the Flax NHWC forward;
+        # widths — 1080p/4K); "xla" = always the Flax NHWC forward;
         # "pallas" forces the transposed core (interpret mode off-TPU, for
         # tests). Same math either way (tests/test_core_t.py).
         self.core_impl = core_impl

@@ -78,7 +78,8 @@ def eligible(cfg: ModelConfig, height: int, width: int) -> bool:
     Requires the production core family (unet, bilinear decoder, depth 4,
     s2d>1, no time plane), 8-multiple channel widths, pool-exact heights,
     and lane-pad ratios <= ~1.07 at the three transposed widths — 1080p,
-    1440p and 4K s2d4 cores qualify; small/odd inputs fall back to NHWC.
+    and 4K s2d4 cores qualify; 720p/1440p (W1 pad ratio 1.6) and small
+    inputs fall back to NHWC.
     """
     if getattr(cfg, "arch", "unet") != "unet" or not cfg.bilinear:
         return False
