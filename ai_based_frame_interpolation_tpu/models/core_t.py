@@ -114,8 +114,16 @@ def _stem_t(frame: jax.Array, r: int, wp: int, cdt) -> jax.Array:
     [B, H/r, r*r*C, W/r (zero-padded to wp)], channel order (ry, rx, c)
     matching ``models.unet.space_to_depth``."""
     b, h, w, c = frame.shape
-    x = frame.reshape(b, h // r, r, w // r, r, c)
-    x = x.transpose(0, 1, 2, 4, 5, 3).reshape(b, h // r, r * r * c, w // r)
+    if c == 1:
+        # rank-3 path: the trailing size-1 channel dim costs a pad-3.1
+        # layout copy in the rank-6 rearrange (round-4 attribution) —
+        # squeezing it first keeps W on lanes with no C padding
+        x = frame[..., 0].reshape(b, h // r, r, w // r, r)
+        x = x.transpose(0, 1, 2, 4, 3).reshape(b, h // r, r * r, w // r)
+    else:
+        x = frame.reshape(b, h // r, r, w // r, r, c)
+        x = x.transpose(0, 1, 2, 4, 5, 3).reshape(b, h // r, r * r * c,
+                                                  w // r)
     x = x.astype(cdt)
     if wp != w // r:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, wp - w // r)))
@@ -286,7 +294,16 @@ def forward_pre_refine(params: dict, x1: jax.Array, x2: jax.Array,
     if cfg.residual:
         from .unet import space_to_depth
 
-        mid = 0.5 * (space_to_depth(x1, r) + space_to_depth(x2, r))
+        if c == 1:
+            # rank-3 s2d (same trailing-C=1 layout-copy avoidance as the
+            # stem); identical (ry, rx) channel order
+            def s2d3(f):
+                v = f[..., 0].reshape(b, h0, r, w0, r)
+                return v.transpose(0, 1, 3, 2, 4).reshape(b, h0, w0, r * r)
+
+            mid = 0.5 * (s2d3(x1) + s2d3(x2))
+        else:
+            mid = 0.5 * (space_to_depth(x1, r) + space_to_depth(x2, r))
         yn = yn + mid.astype(yn.dtype)
     # the skip_refine=True contract returns the FULL-RES prediction
     # (models/unet.py:408) — the refine head / caller consumes NHWC f32
