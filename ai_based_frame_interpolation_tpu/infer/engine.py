@@ -60,16 +60,22 @@ class InterpolationEngine:
     def __init__(self, model: FrameInterpolationUNet, variables,
                  compute_dtype=jnp.bfloat16, fold: bool = True, mesh=None,
                  refine_impl: str = "auto", core_pack: int = 1,
-                 core_impl: str = "auto"):
+                 core_impl: str = "xla"):
         # refine_impl: "auto" = fused Pallas refinement head when eligible
         # (TPU, grayscale, refine_factor=1, single device); "xla" = always
         # the Flax/XLA branch. Same math either way (test_refine_fused.py).
         self.refine_impl = refine_impl
         # core_impl: "auto" = transposed-layout Pallas U-Net core when
         # eligible (models/core_t.py: TPU, folded, s2d unet at lane-friendly
-        # widths — 1080p/4K); "xla" = always the Flax NHWC forward;
+        # widths — 1080p/4K); "xla" (DEFAULT) = the Flax NHWC forward;
         # "pallas" forces the transposed core (interpret mode off-TPU, for
-        # tests). Same math either way (tests/test_core_t.py).
+        # tests). Same math either way (tests/test_core_t.py, uint8 LSB<=1
+        # on TPU). Demoted to option by the round-4 batch sweep: the
+        # transposed core wins only at latency batches (+3% b1, +5% b32,
+        # within session noise) and LOSES at the throughput batches that
+        # define the bench (-2% b64, -12% b128) — XLA's convs put pixels
+        # on the MXU M dim and scale with batch; the row-tiled kernels'
+        # M is pinned at the channel width (docs/PERF.md round 4).
         self.core_impl = core_impl
         # core_pack g > 1: run the unet-family core with g batch items
         # folded into channels (grouped convs, tiled folded weights — see
