@@ -331,6 +331,21 @@ def main(argv=None):
             1, [64, 32, 16, 8], "flow fs1+r16 split mdb8 (quality flagship "
             "architecture — the --flow-photo 0.1 recipe; docs/QUALITY.md)",
             split=True, mdb=8)
+        if flow_quality and flow_quality.get("error"):
+            # the fs1 1080p graph 500s the remote compile helper at mdb8
+            # in some sessions (deterministic helper exit 1, round 4);
+            # mdb4 compiles and measures ~24 mid/s — keep the flagship on
+            # the board rather than a bare reason string
+            retry = companion(
+                ModelConfig(arch="flow", base_width=32, flow_scale=1,
+                            refine_width=16, warp_impl="shifts",
+                            max_flow=32),
+                1, [8, 4], "flow fs1+r16 split mdb4 (mdb8 failed remote "
+                "compile; quality flagship — docs/QUALITY.md)",
+                split=True, mdb=4)
+            if retry and not retry.get("error"):
+                retry["mdb8_error"] = flow_quality["error"][:200]
+                flow_quality = retry
         rgb_flagship = companion(
             ModelConfig(channels=3, space_to_depth=args.s2d,
                         refine_width=args.refine_width),
