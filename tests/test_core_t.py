@@ -127,3 +127,18 @@ def test_engine_routing_parity():
     assert out_p.shape == out_x.shape
     delta = np.abs(out_p.astype(np.int16) - out_x.astype(np.int16))
     assert delta.max() <= 1, f"max uint8 delta {delta.max()}"
+
+
+def test_round4_routing_defaults():
+    """Pin the round-4 measured dispositions (docs/PERF.md): the
+    transposed core and the refine direct mode are OPTIONS, not defaults
+    — the throughput-batch benches regress if these flip silently."""
+    from ai_based_frame_interpolation_tpu.infer.engine import (
+        InterpolationEngine)
+    from ai_based_frame_interpolation_tpu.ops.pallas import refine_fused
+
+    eng = InterpolationEngine.random_init(ModelConfig(base_width=4))
+    assert eng.core_impl == "xla"
+    assert refine_fused._DIRECT is False
+    # the small-width miscompile guard must survive any future re-enable
+    assert refine_fused._DIRECT_MIN_WD >= 512
