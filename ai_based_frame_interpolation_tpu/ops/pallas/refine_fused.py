@@ -82,21 +82,28 @@ _FAST = True
 # TPU-validated bit-identical to the legacy prep-chain path (flow 5-plane
 # w16 b2 @128x128: max diff 0 vs legacy, scripts/refine_direct_probe.py);
 # scripts/refine_direct_ab.py A/Bs the two lowerings in-process.
-# Direct NHWC mode: DEMOTED to default-off (round 4). Two findings:
+# Direct NHWC mode: re-scoped in round 4 to GRAY at wd >= 512 only.
+# Findings (docs/PERF.md round-4 retraction + re-measure):
 # (1) the round-3 "+1.7%" was a jit-cache artifact (the A/B flipped this
-# flag without clearing the module-level jit trace cache — ADVICE round 3);
-# with per-arm jax.clear_caches() the re-measurement is -1.1% gray /
-# -3.7% RGB at production 1080p (scripts/refine_direct_ab.py) — the 3x
-# per-plane DMA count beats the prep-chain saving it was built to remove.
+# flag without clearing the module-level jit trace cache — ADVICE round
+# 3); properly isolated re-measures: RGB -3.7% (b16), gray -1.1% (b64,
+# single-shot) but **+0.9% at the production b128** (306.7 -> 309.4
+# mid/s, interleaved 2x2 arms, bit-identical) — so it stays ON for the
+# bench regime it helps, and OFF for RGB where the 3x plane-DMA count
+# loses to the prep chain.
 # (2) compiled direct mode MISCOMPUTES at small widths (wd=128: ~21% of
 # pixels off by up to 0.94; wd=256: 0.14% off by 1-2 bf16 ulp; wd>=512
 # bit-identical) — deterministic, present in the round-3 kernel too
-# (/tmp/flow5_diag bisect 2026-08-21), so the round-3 "TPU-validated
-# bit-identical" record was wrong and every 128px eval that ran with
-# direct on is re-run in round 4. The _DIRECT_MIN_WD guard keeps the
-# mode usable for future investigation at the widths where it is sound.
-_DIRECT = False
+# (bisect 2026-08-21), so the round-3 "TPU-validated bit-identical"
+# record was wrong and every 128px eval that ran with direct on was
+# re-run in round 4 (values reproduced — the miscompile did not manifest
+# inside full engine graphs, only in the standalone kernel composition).
+# The _DIRECT_MIN_WD guard keeps every routable shape in the validated
+# regime.
+_DIRECT = True
 _DIRECT_MIN_WD = 512
+_DIRECT_CH = (1,)          # gray only; tests widen both gates to cover
+                           # the kernel path at small interpret shapes
 
 
 def _tile_h(h: int) -> int:
@@ -513,7 +520,8 @@ def refine_head_fused(y_full: jax.Array, planes: Tuple[jax.Array, ...],
     # ~12 GB of HBM traffic per production b128 1080p dispatch (gray;
     # the RGB chain is 3x wider — round-3 VERDICT task 5)
     # (docs/hlo_attribution.json) — leaving the kernel's own ~45 MB/frame.
-    if _DIRECT and wd % 128 == 0 and wd >= _DIRECT_MIN_WD and h % th == 0:
+    if _DIRECT and ch in _DIRECT_CH and wd % 128 == 0 \
+            and wd >= _DIRECT_MIN_WD and h % th == 0:
         wpd = wd
         kwargs = {}
         if wpd > 2048:

@@ -139,6 +139,6 @@ def test_round4_routing_defaults():
 
     eng = InterpolationEngine.random_init(ModelConfig(base_width=4))
     assert eng.core_impl == "xla"
-    assert refine_fused._DIRECT is False
-    # the small-width miscompile guard must survive any future re-enable
+    # direct refine: gray + wd>=512 only (the wd<512 compiled miscompile
+    # and the RGB -3.7% regression both live outside this guard)
     assert refine_fused._DIRECT_MIN_WD >= 512
