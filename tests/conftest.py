@@ -28,6 +28,13 @@ if (not os.environ.get("FI_TEST_NO_CACHE")
         and "axon_site" in os.environ.get("PYTHONPATH", "")):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.environ.setdefault("FI_TPU_COMPILE_CACHE", "/tmp/jax_test_cache")
+else:
+    # in-process cli.main() tests would otherwise re-enable the cache
+    # globally via _enable_compile_cache (this is what actually crashed
+    # the "cache-disabled" round-4 CPU suite at test_train, 45 files
+    # after test_cli had run)
+    os.environ.setdefault("FI_TPU_COMPILE_CACHE", "")
 
 
 @pytest.fixture(scope="session")
