@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "removes XLA's 128-lane HBM padding on thin "
                              "activations; identical math. Batches not "
                              "divisible by g fall back transparently")
+        sp.add_argument("--core-impl", default="xla",
+                        choices=("xla", "auto", "pallas"),
+                        help="U-Net core lowering: xla (default — fastest "
+                             "at throughput batches), auto = the "
+                             "transposed-layout Pallas core when eligible "
+                             "(a latency option: +3-5%% at batch 1-32 on "
+                             "1080p/4K, identical math to 1 uint8 LSB; "
+                             "docs/PERF.md round-4 verdict)")
 
     t = sub.add_parser("train", help="train the interpolation model")
     t.add_argument("--data-dir", default="data/train")
@@ -312,16 +320,21 @@ def _load_engine(args, allow_random: bool = False):
                           or "shifts",
                           max_flow=getattr(args, "max_flow", None) or 32)
     core_pack = getattr(args, "core_pack", 1) or 1
+    core_impl = getattr(args, "core_impl", None) or "xla"
     if os.path.exists(args.model) or args.model.endswith((".pth", ".pt")):
-        return InterpolationEngine.from_checkpoint(args.model, cfg,
-                                                   compute_dtype=dtype,
-                                                   core_pack=core_pack)
+        eng = InterpolationEngine.from_checkpoint(args.model, cfg,
+                                                  compute_dtype=dtype,
+                                                  core_pack=core_pack)
+        eng.core_impl = core_impl
+        return eng
     if allow_random:
         print(f"warning: no checkpoint at '{args.model}', using random "
               "weights (plumbing/demo mode)")
-        return InterpolationEngine.random_init(cfg or ModelConfig(),
-                                               compute_dtype=dtype,
-                                               core_pack=core_pack)
+        eng = InterpolationEngine.random_init(cfg or ModelConfig(),
+                                              compute_dtype=dtype,
+                                              core_pack=core_pack)
+        eng.core_impl = core_impl
+        return eng
     raise SystemExit(f"error: checkpoint not found: {args.model}")
 
 
