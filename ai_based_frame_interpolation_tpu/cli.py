@@ -719,7 +719,12 @@ def _enable_compile_cache() -> None:
         return
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from .utils.cache import host_keyed
+
+    # host-keyed: the hosts rotate between sessions while /tmp persists,
+    # and a cache written by another machine type feeds this one AOT CPU
+    # code specialized to missing ISA extensions (SIGILL class)
+    jax.config.update("jax_compilation_cache_dir", host_keyed(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

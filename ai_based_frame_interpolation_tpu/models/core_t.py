@@ -97,6 +97,15 @@ def eligible(cfg: ModelConfig, height: int, width: int) -> bool:
     for wt in (w0, w0 // 2, w0 // 4):
         if _ceil128(wt) / wt > _MAX_PAD_RATIO:
             return False
+    # Decoder lane-width joins: each level's padded width must equal the
+    # independently-rounded width of that level, or the up3/up4 skip
+    # concats trace-fail on a width mismatch (e.g. w0=1360: input width
+    # 5440 at s2d4 passes every pad-ratio check but 2*ceil128(w0/4)=768
+    # != ceil128(w0)/2=704).
+    if _ceil128(w0) // 2 != _ceil128(w0 // 2):
+        return False
+    if 2 * _ceil128(w0 // 4) != _ceil128(w0) // 2:
+        return False
     return True
 
 
@@ -201,7 +210,13 @@ def _dconv_t(name: str, p: dict, x: jax.Array, w_true: int, h_true: int,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, x.shape[-1]), 3)
     row = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1, 1), 1)
     mask = (lane < w_true) & (row < h_true)
-    out = conv(conv(x, k1, b1), k2, b2)
+    # Mask BETWEEN the convs too: conv1's halo output is nonzero (relu of
+    # bias + edge-data taps) and conv2's 3x3 edge taps would read it,
+    # diverging from the NHWC reference at the last true column/row —
+    # mirroring the Pallas path's in-kernel per-row masking.
+    mid = conv(x, k1, b1)
+    mid = jnp.where(mask, mid, jnp.zeros_like(mid))
+    out = conv(mid, k2, b2)
     return jnp.where(mask, out, jnp.zeros_like(out))
 
 

@@ -24,6 +24,7 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
         from fastapi import FastAPI, File, Form, HTTPException, UploadFile
         from fastapi.middleware.cors import CORSMiddleware
         from fastapi.responses import Response, StreamingResponse
+        from starlette.background import BackgroundTask
     except ImportError as e:
         raise ImportError(
             "fastapi is not installed; use the stdlib server "
@@ -67,12 +68,17 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
             raise HTTPException(e.status, e.detail)
 
         def _stream():
-            with payload:
-                yield from payload.chunks()
+            yield from payload.chunks()
 
+        # cleanup rides the response's background task, NOT generator
+        # finalization: a StreamingResponse whose generator is closed
+        # before its first iteration (client disconnect mid-headers)
+        # never enters the generator body, which would leak the temp dir.
+        # close() is idempotent.
         return StreamingResponse(_stream(), media_type="video/mp4", headers={
             "Content-Length": str(payload.size),
-            "Content-Disposition": f'attachment; filename="{fname}"'})
+            "Content-Disposition": f'attachment; filename="{fname}"'},
+            background=BackgroundTask(payload.close))
 
     @app.post("/interpolate-video")
     async def interpolate_video(video: UploadFile = File(...),
@@ -93,12 +99,13 @@ def make_fastapi_app(engine, cfg: ServeConfig = ServeConfig(),
             raise HTTPException(e.status, e.detail)
 
         def _stream():
-            # FilePayload: stream from disk, then remove the temp dir
-            with payload:
-                yield from payload.chunks()
+            # FilePayload: stream from disk; dir removal is the response's
+            # background task (see /interpolate above)
+            yield from payload.chunks()
 
         return StreamingResponse(_stream(), media_type="video/mp4", headers={
             "Content-Length": str(payload.size),
-            "Content-Disposition": f'attachment; filename="{fname}"'})
+            "Content-Disposition": f'attachment; filename="{fname}"'},
+            background=BackgroundTask(payload.close))
 
     return app

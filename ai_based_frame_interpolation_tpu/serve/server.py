@@ -734,22 +734,30 @@ def make_handler(service: InterpolationService):
             except Exception as e:  # 500 mapping (api/app.py:193-195)
                 self._send_json({"detail": f"internal error: {e}"}, 500)
                 return
-            self.send_response(200)
-            self.send_header("Content-Type", "video/mp4")
-            self.send_header("Content-Disposition",
-                             f'attachment; filename="{fname}"')
-            size = blob.size if isinstance(blob, FilePayload) else len(blob)
-            self.send_header("Content-Length", str(size))
-            self.send_header("Access-Control-Allow-Origin", "*")
-            self.end_headers()
-            if isinstance(blob, FilePayload):
-                # stream from disk in chunks: RSS stays flat no matter how
-                # large the output clip is
-                with blob:
+            # try/finally (close() is idempotent) rather than `with blob:`
+            # around the stream alone: a BrokenPipeError inside
+            # send_response/send_header would otherwise leak the payload's
+            # temp directory, created above but not yet entered
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "video/mp4")
+                self.send_header("Content-Disposition",
+                                 f'attachment; filename="{fname}"')
+                size = (blob.size if isinstance(blob, FilePayload)
+                        else len(blob))
+                self.send_header("Content-Length", str(size))
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                if isinstance(blob, FilePayload):
+                    # stream from disk in chunks: RSS stays flat no matter
+                    # how large the output clip is
                     for chunk in blob.chunks():
                         self.wfile.write(chunk)
-            else:
-                self.wfile.write(blob)
+                else:
+                    self.wfile.write(blob)
+            finally:
+                if isinstance(blob, FilePayload):
+                    blob.close()
 
     return Handler
 

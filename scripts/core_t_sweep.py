@@ -23,7 +23,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    from ai_based_frame_interpolation_tpu.utils.cache import host_keyed
+    jax.config.update("jax_compilation_cache_dir", host_keyed("/tmp/jax_bench_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ai_based_frame_interpolation_tpu.config import ModelConfig

@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ai_based_frame_interpolation_tpu.ops.pallas.dconv_fused import (  # noqa: E402
     double_conv_fused, double_conv_reference)
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+from ai_based_frame_interpolation_tpu.utils.cache import host_keyed
+jax.config.update("jax_compilation_cache_dir", host_keyed("/tmp/jax_bench_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # (name, h, hp, w, wp, cin, mid, cout) — s2d4 core blocks at 1088x1920

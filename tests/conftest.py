@@ -26,9 +26,12 @@ import pytest  # noqa: E402
 # FI_TEST_NO_CACHE=1 force-disables in any environment.
 if (not os.environ.get("FI_TEST_NO_CACHE")
         and "axon_site" in os.environ.get("PYTHONPATH", "")):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    from ai_based_frame_interpolation_tpu.utils.cache import host_keyed
+
+    _cache_dir = host_keyed("/tmp/jax_test_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    os.environ.setdefault("FI_TPU_COMPILE_CACHE", "/tmp/jax_test_cache")
+    os.environ.setdefault("FI_TPU_COMPILE_CACHE", _cache_dir)
 else:
     # in-process cli.main() tests would otherwise re-enable the cache
     # globally via _enable_compile_cache (this is what actually crashed
