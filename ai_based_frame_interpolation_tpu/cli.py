@@ -284,6 +284,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "harness tier); 'hard' adds camera rotation/zoom, "
                          "sprite acceleration and orbits — curved "
                          "trajectories + occlusions")
+    ds.add_argument("--flicker", type=float, default=0.0,
+                    help="per-frame exposure flicker amplitude (0 = off; "
+                         "0.1-0.2 = fluorescent/auto-exposure flicker with "
+                         "a 2.5-5 frame period — the illumination-"
+                         "robustness tier that motivates --census)")
 
     c = sub.add_parser("convert", help="convert checkpoints between the "
                                        "reference .pth format and orbax")
@@ -677,7 +682,8 @@ def cmd_dataset(args) -> int:
                             width=args.size, channels=args.channels,
                             num_sprites=args.sprites, seed=args.seed,
                             motion=args.motion,
-                            max_speed=args.max_speed)
+                            max_speed=args.max_speed,
+                            flicker=args.flicker)
     n_triplets = args.videos * max(0, args.frames - 2)
     print(f"wrote {len(dirs)} clips x {args.frames} frames "
           f"({n_triplets} triplets) to {args.output_dir}")

@@ -272,3 +272,218 @@ def analyze_compiled(compiled, top_k: int = 30) -> Optional[Dict]:
     if not hlo:
         return None
     return analyze_hlo_text(hlo, top_k=top_k)
+
+
+# ---------------------------------------------------------------------------
+# MXU utilization model (round-4 VERDICT task 2: "what utilization IS
+# achievable" for the shipped program, so sol_fraction has an honest
+# denominator).
+#
+# The v5e MXU is a 128x128 systolic array. XLA lowers a conv to implicit
+# GEMM passes whose contraction feeds the 128 K lanes and whose output
+# features fill the 128 N columns; a conv with C_in=C_out=64 can therefore
+# use at most (64/128)*(64/128) = 25% of peak no matter how well it is
+# scheduled — the hardware multiplies zero-padding. The *effective* MXU
+# bound of a program is sum(flops_i / (peak * eff_i)) over its conv/dot
+# instructions, with eff_i = (K_tile/128)*(N_tile/128) (dims >=128 are
+# tiled and count as full; M rounds to the 8-sublane grid, a negligible
+# factor at these shapes).
+# ---------------------------------------------------------------------------
+
+_MXU_DIM = 128
+_CONV_RE = re.compile(r"\bconvolution\(")
+_DOT_RE = re.compile(r"\bdot\(")
+_DIM_LABELS_RE = re.compile(r"dim_labels=(\S+?)(?:,|$|\s)")
+_WINDOW_SIZE_RE = re.compile(r"window=\{[^}]*size=([\dx]+)")
+
+
+def _dim_eff(d: int) -> float:
+    """Fraction of the 128-wide MXU axis a dimension of size d can fill
+    (tiled: the last partial tile is averaged in)."""
+    if d <= 0:
+        return 1.0
+    full, rem = divmod(d, _MXU_DIM)
+    tiles = full + (1 if rem else 0)
+    return d / (tiles * _MXU_DIM)
+
+
+def _computation_blocks(hlo: str) -> List[List[str]]:
+    """Split an HLO module's text into computations (ENTRY and fused/
+    called bodies alike): each block is the list of its body lines.
+    Computations open at column 0 (``%name (...) -> ... {`` or
+    ``ENTRY ...{``) and close at the matching brace."""
+    blocks: List[List[str]] = []
+    cur: Optional[List[str]] = None
+    depth = 0
+    for line in hlo.splitlines():
+        if cur is None:
+            s = line.strip()
+            if (line[:1] in ("%", "E") and "{" in line
+                    and (s.startswith("ENTRY") or s.startswith("%"))):
+                depth = line.count("{") - line.count("}")
+                if depth > 0:
+                    cur = []
+            continue
+        depth += line.count("{") - line.count("}")
+        if depth <= 0:
+            blocks.append(cur)
+            cur = None
+            continue
+        cur.append(line.strip())
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+def analyze_mxu(hlo: str, peak_flops: float = 197e12,
+                top_k: int = 20) -> Dict:
+    """Per-conv/dot M/N/K attribution + achievable-utilization estimate.
+
+    Walks EVERY computation of the optimized HLO (on TPU, convolutions
+    live inside fusion bodies, not ENTRY; each fusion body is called from
+    exactly one fusion instruction in a straight-line inference graph).
+    For convs, dims come from the kernel operand's shape via
+    ``dim_labels`` (e.g. ``b01f_01io->b01f``: kernel [kh,kw,Cin,Cout]);
+    M is the output's batch*spatial product. flops = 2*M*K*N
+    (K = kh*kw*Cin).
+
+    Returns {ops, total_flops, ideal_ms, effective_ms, utilization,
+    unattributed_custom_calls}: ``ideal_ms`` assumes every pass fills the
+    MXU; ``effective_ms`` divides each op's flops by peak * eff where
+    eff = k_eff * n_eff models the zero-padding the 128x128 array
+    multiplies for thin contractions/feature dims. Pallas custom-calls'
+    flops are invisible to HLO and are counted by name only.
+
+    Limitation: bodies of ``while``/``conditional`` computations are
+    counted once, not per iteration (the inference graphs this serves are
+    straight-line).
+    """
+    ops = []
+    custom_calls: Dict[str, int] = {}
+    pending = []     # (name, line, rhs, out_dims, operand shapes)
+    for block in _computation_blocks(hlo):
+        # per-block defs: %param_N names repeat across fusion bodies, so
+        # operand shapes must resolve within the owning computation
+        defs: Dict[str, list] = {}
+        for line in block:
+            m = _DEF_RE.match(line)
+            if not m:
+                continue
+            shapes = [(s.group(1),
+                       [int(d) for d in s.group(2).split(",") if d]
+                       if s.group(2) else [], s.group(3))
+                      for s in _SHAPE_RE.finditer(
+                          m.group(2).split("(")[0])]
+            if shapes:
+                defs[m.group(1)] = shapes
+        for line in block:
+            m = _DEF_RE.match(line)
+            if not m:
+                continue
+            name, rhs = m.group(1), m.group(2)
+            if "custom-call" in rhs:
+                tgt = re.search(r'custom_call_target="([^"]+)"', line)
+                key = tgt.group(1) if tgt else "?"
+                custom_calls[key] = custom_calls.get(key, 0) + 1
+                continue
+            is_conv = bool(_CONV_RE.search(rhs))
+            is_dot = bool(_DOT_RE.search(rhs)) and not is_conv
+            if not (is_conv or is_dot):
+                continue
+            out = _parse_shape(rhs)
+            if out is None:
+                continue
+            _, out_dims, _ = out
+            opnames = re.findall(r"%([\w.\-]+)",
+                                 rhs.split("(", 1)[1])
+            shapes = [defs[o][0] for o in opnames if o in defs][:2]
+            if len(shapes) < 2:
+                continue
+            pending.append((name, line, out_dims, shapes,
+                            is_conv))
+
+    for name, line, out_dims, shapes, is_conv in pending:
+        if is_conv:
+            labels = _DIM_LABELS_RE.search(line)
+            if not labels:
+                continue
+            lhs_l, rhs_l = labels.group(1).split("->")[0].split("_")
+            kdims = shapes[1][1]
+            if len(kdims) != len(rhs_l):
+                continue
+            cin = kdims[rhs_l.index("i")]
+            cout = kdims[rhs_l.index("o")]
+            # XLA:TPU lowers some dot_generals AS convolutions (huge
+            # window + symmetric padding + rhs_reversal — a correlation
+            # trick where all but one window position reads zeros). The
+            # window taps are then an artifact: only the channel
+            # contraction does real MACs. Discriminate by the op_name
+            # metadata the compiler preserves.
+            is_trick_dot = "/dot_general" in line
+            taps = 1
+            if not is_trick_dot:
+                for ch, d in zip(rhs_l, kdims):
+                    if ch not in "io":
+                        taps *= d
+            out_total = 1
+            for d in out_dims:
+                out_total *= d
+            k = taps * cin
+            n = cout
+            mrows = out_total // max(1, n)
+            # exact for both forms: each output element is k MACs
+            flops = 2.0 * out_total * k
+            # XLA feeds kh*kw*Cin as one contraction when it can (the
+            # patch-GEMM lowering), so K-axis efficiency uses the full
+            # k, not per-tap Cin — this is the optimistic (achievable)
+            # reading, which is what an honest denominator wants.
+            eff = _dim_eff(k) * _dim_eff(n)
+            row = {"name": name[:60], "kind": "conv",
+                   "M": mrows, "N": n, "K": k,
+                   "taps": taps, "cin": cin, "cout": cout}
+        else:
+            # dot: contraction dims come from the attribute; fall back to
+            # "last lhs dim is K" (row-major matmuls — the resize path)
+            cdim = re.search(r"lhs_contracting_dims=\{([\d,]+)\}", line)
+            ldims = shapes[0][1]
+            rdims = shapes[1][1]
+            if not ldims or not rdims:
+                continue
+            if cdim:
+                cidx = [int(x) for x in cdim.group(1).split(",")]
+                k = 1
+                for i in cidx:
+                    if i < len(ldims):
+                        k *= ldims[i]
+            else:
+                k = ldims[-1]
+            n_out = 1
+            for d in out_dims:
+                n_out *= d
+            mrows = max(1, n_out // max(1, rdims[-1]))
+            n = rdims[-1]
+            flops = 2.0 * mrows * k * n
+            eff = _dim_eff(k) * _dim_eff(n)
+            row = {"name": name[:60], "kind": "dot",
+                   "M": mrows, "N": n, "K": k}
+        row["gflops"] = round(flops / 1e9, 2)
+        row["eff"] = round(eff, 3)
+        row["ideal_ms"] = round(flops / peak_flops * 1e3, 3)
+        row["effective_ms"] = round(flops / (peak_flops * max(eff, 1e-6))
+                                    * 1e3, 3)
+        ops.append(row)
+
+    total_flops = sum(r["gflops"] for r in ops) * 1e9
+    ideal_ms = sum(r["ideal_ms"] for r in ops)
+    effective_ms = sum(r["effective_ms"] for r in ops)
+    ops.sort(key=lambda r: -r["effective_ms"])
+    return {
+        "ops": ops[:top_k],
+        "n_ops": len(ops),
+        "total_flops": total_flops,
+        "ideal_ms": round(ideal_ms, 3),
+        "effective_ms": round(effective_ms, 3),
+        "utilization": round(ideal_ms / effective_ms, 3)
+        if effective_ms else None,
+        "unattributed_custom_calls": custom_calls,
+    }

