@@ -388,7 +388,10 @@ def main(argv=None):
         rgb_flagship = companion(
             ModelConfig(channels=3, space_to_depth=args.s2d,
                         refine_width=args.refine_width),
-            3, [16, 8, 4], f"RGB unet s2d{args.s2d}+r{args.refine_width}")
+            3, [64, 32, 16, 8],
+            f"RGB unet s2d{args.s2d}+r{args.refine_width} split "
+            "(round-5 two-program path: b64 compiles, 385.9 fps measured; "
+            "b96+ is real HBM OOM)")
         rgb_flow = companion(
             ModelConfig(arch="flow", channels=3, base_width=32,
                         flow_scale=4, refine_width=16, warp_impl="shifts",

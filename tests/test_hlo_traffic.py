@@ -113,3 +113,72 @@ ENTRY %main (a: f32[8,128]) -> f32[8,128] {
         assert r["total_bytes"] >= r["total_bytes_logical"] > 0
         # the conv itself must be attributed (as convolution or a fusion)
         assert r["top"], r
+
+
+MXU_SYNTH = """\
+HloModule jit_step, is_scheduled=true
+
+%fused_body (p0: bf16[8,32,32,16], p1: bf16[3,3,16,64]) -> bf16[8,32,32,64] {
+  %p0 = bf16[8,32,32,16]{3,2,1,0:T(8,128)(2,1)} parameter(0)
+  %p1 = bf16[3,3,16,64]{3,2,1,0:T(8,128)(2,1)} parameter(1)
+  ROOT %conv.1 = bf16[8,32,32,64]{3,2,1,0:T(8,128)(2,1)} convolution(%p0, %p1), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f, metadata={op_name="jit(f)/conv_general_dilated"}
+}
+
+ENTRY %main (a: bf16[8,32,32,16], w: bf16[3,3,16,64], m: bf16[8,32,16,64]) -> bf16[256,8,32,64] {
+  %a = bf16[8,32,32,16]{3,2,1,0:T(8,128)(2,1)} parameter(0)
+  %w = bf16[3,3,16,64]{3,2,1,0:T(8,128)(2,1)} parameter(1)
+  %m = bf16[8,32,16,64]{3,2,1,0:T(8,128)(2,1)} parameter(2)
+  %fusion.2 = bf16[8,32,32,64]{3,2,1,0:T(8,128)(2,1)} fusion(%a, %w), kind=kOutput, calls=%fused_body, metadata={op_name="jit(f)/conv_general_dilated"}
+  ROOT %convolution.7 = bf16[256,8,32,64]{3,2,1,0:T(8,128)(2,1)} convolution(%fusion.2, %m), window={size=8x32 pad=7_7x31_31 rhs_reversal=1x1}, dim_labels=fb01_01io->b01f, metadata={op_name="jit(f)/bhwc,wo->bhoc/dot_general"}
+}
+"""
+
+
+class TestAnalyzeMxu:
+    def test_conv_in_fusion_body_and_trick_dot(self):
+        """TPU HLO puts convs inside fusion bodies, and lowers some
+        dot_generals AS convolutions (huge window + rhs_reversal); the
+        analyzer must find the former and not overcount the latter."""
+        from ai_based_frame_interpolation_tpu.utils.hlo_traffic import \
+            analyze_mxu
+
+        r = analyze_mxu(MXU_SYNTH)
+        assert r["n_ops"] == 2
+        by_name = {o["name"]: o for o in r["ops"]}
+        conv = by_name["conv.1"]
+        assert conv["K"] == 3 * 3 * 16 and conv["N"] == 64
+        assert conv["M"] == 8 * 32 * 32
+        # flops exact: 2 * out_elems * K
+        assert conv["gflops"] == round(2 * 8 * 32 * 32 * 64 * 144 / 1e9, 2)
+        # eff = K_fill(144 -> 2 tiles of 128) * N_fill(64/128)
+        assert abs(conv["eff"] - (144 / 256) * (64 / 128)) < 1e-3
+        trick = by_name["convolution.7"]
+        # op_name says dot_general: the window taps are an artifact, only
+        # the cin=16 channel contraction does real MACs
+        assert trick["K"] == 16
+        assert trick["gflops"] == round(
+            2 * 256 * 8 * 32 * 64 * 16 / 1e9, 2)
+        assert 0 < r["utilization"] <= 1.0
+
+    def test_utilization_on_real_program(self):
+        from ai_based_frame_interpolation_tpu.utils.hlo_traffic import \
+            analyze_mxu
+
+        def f(x, w, w2):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = jax.nn.relu(y)
+            return jax.lax.conv_general_dilated(
+                y, w2, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        x = jnp.zeros((2, 16, 16, 16), jnp.bfloat16)
+        w = jnp.zeros((3, 3, 16, 64), jnp.bfloat16)
+        w2 = jnp.zeros((3, 3, 64, 64), jnp.bfloat16)
+        r = analyze_mxu(jax.jit(f).lower(x, w, w2).compile().as_text())
+        assert r["n_ops"] == 2
+        # conv2: K=576 -> 576/640; N=64 -> 0.5; conv1: 144/256 * 0.5
+        effs = sorted(o["eff"] for o in r["ops"])
+        assert abs(effs[0] - (144 / 256) * 0.5) < 1e-3
+        assert abs(effs[1] - (576 / 640) * 0.5) < 1e-3
