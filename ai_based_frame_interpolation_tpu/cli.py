@@ -148,11 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--census", type=float, default=0.0,
                    help="illumination-robust census-transform loss weight "
                         "(any family; soft census descriptor Hamming "
-                        "distance, ops/census.py). 0 = off (recommended "
-                        "on clean content: measured -0.003/-0.007 SSIM at "
-                        "w=0.5/1.0 on the scenes harness, docs/QUALITY.md "
-                        "section 6; intended for illumination-varying "
-                        "footage)")
+                        "distance, ops/census.py). 0 = off — on clean "
+                        "content it costs -0.003/-0.007 SSIM at w=0.5/1.0; "
+                        "on exposure-flicker content 0.5 WINS +0.007 SSIM "
+                        "(docs/QUALITY.md sections 6 and 8) — use 0.5 for "
+                        "footage with lighting flicker / rolling exposure")
     t.add_argument("--census-window", type=int, default=7,
                    help="census descriptor window (odd; default 7)")
     t.add_argument("--flow-cascade", type=int, default=0,
